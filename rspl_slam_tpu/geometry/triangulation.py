@@ -1,0 +1,134 @@
+"""Triangulation of points and lines — batched, fixed-shape, masked.
+
+Replaces Map::TriangulateMappoint (map.cc:292-339, multi-view bearing least
+squares) and Map::TriangulateMaplineByMappoints (map.cc:341-419, iterative
+3D line fit with outlier pruning). All routines take a static maximum
+observation count with a validity mask and vmap over landmarks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rspl_slam_tpu.geometry import plucker
+
+__all__ = [
+    "triangulate_point_multiview",
+    "fit_line3d_to_points",
+    "triangulate_line_endpoints",
+]
+
+
+def triangulate_point_multiview(
+    Twc: jnp.ndarray,  # (M, 4, 4) world-from-camera poses of observers
+    uv_norm: jnp.ndarray,  # (M, 2) normalized image coords ((u-cx)/fx, (v-cy)/fy)
+    mask: jnp.ndarray,  # (M,) bool
+):
+    """Multi-view midpoint/DLT triangulation with rank check.
+
+    Builds per-observation cross-product constraints on the world point
+    (the linear system the reference assembles at map.cc:302-330) and solves
+    the 3×3 normal equations. Returns (point_world (3,), ok bool).
+
+    A landmark is accepted when ≥2 valid rays and the system is well
+    conditioned (rank-3 check ≙ the QR rank test at map.cc:331-336).
+    """
+    m = mask.astype(Twc.dtype)
+    # Ray in world frame per observation.
+    d_cam = jnp.concatenate([uv_norm, jnp.ones_like(uv_norm[..., :1])], -1)  # (M,3)
+    R = Twc[..., :3, :3]
+    t = Twc[..., :3, 3]
+    d_w = jnp.einsum("mij,mj->mi", R, d_cam)
+    d_w = d_w / jnp.maximum(jnp.linalg.norm(d_w, axis=-1, keepdims=True), 1e-12)
+    # For each ray: (I − d dᵀ) x = (I − d dᵀ) t   (point closest to all rays)
+    P = jnp.eye(3, dtype=Twc.dtype)[None] - d_w[:, :, None] * d_w[:, None, :]
+    P = P * m[:, None, None]
+    A = jnp.sum(P, 0)  # (3,3)
+    b = jnp.sum(jnp.einsum("mij,mj->mi", P, t), 0)
+    # Rank / conditioning check via eigenvalues of the SPD 3×3.
+    w = jnp.linalg.eigvalsh(A)
+    ok_rank = w[0] > 1e-6 * jnp.maximum(w[2], 1e-12)
+    x = jnp.linalg.solve(A + 1e-9 * jnp.eye(3, dtype=A.dtype), b)
+    # Cheirality: point must be in front of every observing camera.
+    p_cam_z = jnp.einsum("mi,mi->m", d_w, (x[None] - t))
+    ok_cheir = jnp.all(jnp.where(mask, p_cam_z > 0, True))
+    ok = (jnp.sum(mask) >= 2) & ok_rank & ok_cheir
+    return x, ok
+
+
+def fit_line3d_to_points(
+    pts: jnp.ndarray,  # (P, 3) candidate on-line mappoint positions
+    mask: jnp.ndarray,  # (P,) bool
+    num_iters: int = 3,
+    inlier_dist: float = 0.2,
+):
+    """Iterative robust 3D line fit ≙ the cv::fitLine loop with 0.2 m
+    pruning (map.cc:380-404).
+
+    Each iteration: PCA line through the masked centroid → re-mask points
+    within ``inlier_dist`` of the line → refit. Returns
+    (plucker (6,), endpoints (2,3), ok).
+
+    Endpoints are the extreme inliers along the principal direction
+    (map.cc:405-416).
+    """
+    dtype = pts.dtype
+
+    def fit(m):
+        w = m.astype(dtype)
+        cnt = jnp.maximum(jnp.sum(w), 1.0)
+        c = jnp.sum(pts * w[:, None], 0) / cnt
+        X = (pts - c) * w[:, None]
+        C = X.T @ X
+        evals, evecs = jnp.linalg.eigh(C)
+        d = evecs[:, 2]  # principal direction
+        return c, d
+
+    m = mask
+
+    def body(_, carry):
+        m, c, d = carry
+        # distance of every point to current line
+        r = pts - c
+        proj = jnp.einsum("pi,i->p", r, d)
+        perp = r - proj[:, None] * d[None]
+        dist = jnp.linalg.norm(perp, axis=-1)
+        m2 = mask & (dist < inlier_dist)
+        # keep at least 2 points: if pruning kills everything, keep old mask
+        m2 = jnp.where(jnp.sum(m2) >= 2, m2, m)
+        c2, d2 = fit(m2)
+        return m2, c2, d2
+
+    c0, d0 = fit(m)
+    m, c, d = jax.lax.fori_loop(0, num_iters, body, (m, c0, d0))
+
+    proj = jnp.einsum("pi,i->p", pts - c, d)
+    big = jnp.asarray(1e9, dtype)
+    tmin = jnp.min(jnp.where(m, proj, big))
+    tmax = jnp.max(jnp.where(m, proj, -big))
+    p1 = c + tmin * d
+    p2 = c + tmax * d
+    ok = (jnp.sum(m) >= 2) & (tmax - tmin > 1e-6)
+    L = plucker.from_endpoints(p1, p2)
+    return L, jnp.stack([p1, p2], 0), ok
+
+
+def triangulate_line_endpoints(
+    L_world: jnp.ndarray,  # (6,) Plücker
+    anchor_pts: jnp.ndarray,  # (P, 3) observing mappoints
+    mask: jnp.ndarray,  # (P,)
+):
+    """Refresh cartesian endpoints of an (optimized) infinite Plücker line
+    from the extreme projections of its supporting mappoints
+    (Map::UpdateMaplineEndpoints, map.cc:121-269)."""
+    n, d = L_world[:3], L_world[3:]
+    dn = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
+    # closest point on line to origin: p0 = d × n / ‖d‖²
+    p0 = jnp.cross(d, n) / jnp.maximum(jnp.sum(d * d), 1e-12)
+    proj = jnp.einsum("pi,i->p", anchor_pts - p0, dn)
+    big = jnp.asarray(1e9, L_world.dtype)
+    tmin = jnp.min(jnp.where(mask, proj, big))
+    tmax = jnp.max(jnp.where(mask, proj, -big))
+    ok = jnp.sum(mask) >= 2
+    return jnp.stack([p0 + tmin * dn, p0 + tmax * dn], 0), ok

@@ -1,0 +1,58 @@
+"""Match decode + keypoint normalization for the matcher.
+
+Mirrors the reference's CPU decode (super_glue.cpp:339-367: mutual row/col
+argmax with exp-score > threshold) and the PointMatching wrapper's keypoint
+normalization `(x − w/2) / (0.7·max(w, h))` (point_matching.cc:50-62) —
+expressed as fixed-shape masked array ops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["normalize_keypoints", "mutual_match_decode", "match_distance"]
+
+
+def normalize_keypoints(xy: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """(..., 2) pixels → matcher input coords (point_matching.cc:55-60)."""
+    scale = 0.7 * max(width, height)
+    cx = width / 2.0
+    cy = height / 2.0
+    return (xy - jnp.asarray([cx, cy], xy.dtype)) / scale
+
+
+def mutual_match_decode(
+    Z: jnp.ndarray,  # (B, M+1, N+1) log transport plan
+    mask0: jnp.ndarray,  # (B, M)
+    mask1: jnp.ndarray,  # (B, N)
+    threshold: float = 0.2,
+):
+    """Mutual-max decode of the transport plan.
+
+    Returns (indices0 (B, M) int32 — col matched to each row or −1,
+    indices1 (B, N), mscores0 (B, M) = exp(Z) at the match or 0).
+
+    ≙ super_glue.cpp decode: row argmax & col argmax mutual consistency +
+    exp(score) > threshold gate.
+    """
+    S = Z[:, :-1, :-1]  # strip dustbins
+    neg = -1e9
+    S = jnp.where(mask0[:, :, None] & mask1[:, None, :], S, neg)
+    max0 = jnp.argmax(S, axis=2)  # (B, M) best col per row
+    max1 = jnp.argmax(S, axis=1)  # (B, N) best row per col
+    m_idx = jnp.arange(S.shape[1])[None]
+    n_idx = jnp.arange(S.shape[2])[None]
+    mutual0 = jnp.take_along_axis(max1, max0, axis=1) == m_idx  # (B, M)
+    mutual1 = jnp.take_along_axis(max0, max1, axis=1) == n_idx  # (B, N)
+    sc0 = jnp.exp(jnp.take_along_axis(S, max0[:, :, None], axis=2)[..., 0])
+    valid0 = mutual0 & (sc0 > threshold) & mask0
+    valid1 = mutual1 & jnp.take_along_axis(valid0, max1, axis=1) & mask1
+    indices0 = jnp.where(valid0, max0, -1).astype(jnp.int32)
+    indices1 = jnp.where(valid1, max1, -1).astype(jnp.int32)
+    mscores0 = jnp.where(valid0, sc0, 0.0)
+    return indices0, indices1, mscores0
+
+
+def match_distance(ms0: jnp.ndarray, ms1: jnp.ndarray) -> jnp.ndarray:
+    """DMatch-style distance 1 − (ms0 + ms1)/2 (point_matching.cc:24-32)."""
+    return 1.0 - 0.5 * (ms0 + ms1)
