@@ -1,0 +1,146 @@
+"""RCF (Richer Convolutional Features) edge detection network in pure JAX.
+
+TPU-native replacement for the reference's TensorRT RCF engine (rcf.cpp).
+Architecture is the public RCF-on-VGG16: five conv stages; every conv in a
+stage feeds a 21-channel 1×1 side branch; branch sums get a 1×1 score,
+are bilinearly upsampled to input resolution, and the five stage scores are
+fused by a final 1×1 ("output 230" in the reference's ONNX — rcf.cpp:137).
+
+Behavior contract mirrored from the reference wrapper:
+- input is a grayscale image replicated to 3 channels and **not** divided
+  by 255 (rcf.cpp:161-192) — the net consumes 0..255-range values;
+- :func:`edge_map` returns sigmoid(fuse) ∈ [0,1] (edge probability). The
+  reference then inverts to uint8 (255 − 255·p) only because OpenCV's FLD
+  wants dark edges; our line extractor consumes the probability directly.
+
+Weights load from the public ``bsds500_pascal_model.pth`` via
+:func:`load_torch_weights`; random init otherwise (shape-compatible).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["init_params", "load_torch_weights", "edge_map"]
+
+# (stage, convs): VGG16 layout with dilation-free convs; stage 5 pool has
+# stride 1 in RCF (keeps 1/8 resolution), per the public implementation.
+_STAGES = [
+    ("conv1", [(3, 64), (64, 64)]),
+    ("conv2", [(64, 128), (128, 128)]),
+    ("conv3", [(128, 256), (256, 256), (256, 256)]),
+    ("conv4", [(256, 512), (512, 512), (512, 512)]),
+    ("conv5", [(512, 512), (512, 512), (512, 512)]),
+]
+_SIDE_CH = 21
+
+
+def init_params(key: jax.Array, dtype=jnp.float32) -> dict:
+    params: dict = {}
+
+    def conv_init(key, cin, cout, k):
+        key, sub = jax.random.split(key)
+        w = jax.random.normal(sub, (k, k, cin, cout), dtype) * jnp.sqrt(
+            2.0 / (cin * k * k)
+        )
+        return key, {"w": w, "b": jnp.zeros((cout,), dtype)}
+
+    for sname, convs in _STAGES:
+        for i, (cin, cout) in enumerate(convs):
+            key, p = conv_init(key, cin, cout, 3)
+            params[f"{sname}_{i + 1}"] = p
+            key, p = conv_init(key, cout, _SIDE_CH, 1)
+            params[f"{sname}_{i + 1}_down"] = p
+        key, p = conv_init(key, _SIDE_CH, 1, 1)
+        params[f"{sname}_score"] = p
+    key, p = conv_init(key, 5, 1, 1)
+    params["fuse"] = p
+    return params
+
+
+def load_torch_weights(path: str) -> dict:
+    """Map the public RCF checkpoint (conv1_1..conv5_3, *_down, score_dsn*,
+    score_final naming) into our pytree."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k.replace("module.", ""): v.numpy() for k, v in sd.items()}
+
+    def conv(name_w, name_b):
+        w = sd[name_w]
+        return {
+            "w": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+            "b": jnp.asarray(sd[name_b]),
+        }
+
+    params = {}
+    for si, (sname, convs) in enumerate(_STAGES, start=1):
+        for i in range(len(convs)):
+            params[f"{sname}_{i + 1}"] = conv(
+                f"conv{si}_{i + 1}.weight", f"conv{si}_{i + 1}.bias"
+            )
+            params[f"{sname}_{i + 1}_down"] = conv(
+                f"conv{si}_{i + 1}_down.weight", f"conv{si}_{i + 1}_down.bias"
+            )
+        params[f"{sname}_score"] = conv(
+            f"score_dsn{si}.weight", f"score_dsn{si}.bias"
+        )
+    params["fuse"] = conv("score_final.weight", "score_final.bias")
+    return params
+
+
+def _conv(x, p, compute_dtype, dilation=1):
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        p["w"].astype(compute_dtype),
+        (1, 1),
+        "SAME",
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + p["b"].astype(jnp.float32)
+
+
+def _pool2(x, stride):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, stride, stride, 1), "SAME"
+    )
+
+
+def _upsample_bilinear(x, H, W):
+    return jax.image.resize(x, (x.shape[0], H, W, x.shape[3]), "bilinear")
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def edge_map(params: dict, images: jnp.ndarray, compute_dtype=jnp.bfloat16):
+    """images (B, H, W) grayscale in [0, 1] → edge probability (B, H, W).
+
+    Internally scales to 0..255 and replicates to 3 channels to match the
+    reference's feeding convention (rcf.cpp:161-192).
+    """
+    B, H, W = images.shape
+    x = (images * 255.0)[..., None].repeat(3, -1)
+    relu = jax.nn.relu
+    side_scores = []
+    for sname, convs in _STAGES:
+        # public RCF: pool4 has stride 1 and conv5 uses dilation 2 so stage 5
+        # stays at 1/8 resolution with an enlarged receptive field
+        dil = 2 if sname == "conv5" else 1
+        side_sum = None
+        for i in range(len(convs)):
+            x = relu(_conv(x, params[f"{sname}_{i + 1}"], compute_dtype, dil))
+            side = _conv(x, params[f"{sname}_{i + 1}_down"], compute_dtype)
+            side_sum = side if side_sum is None else side_sum + side
+        score = _conv(side_sum, params[f"{sname}_score"], compute_dtype)
+        side_scores.append(_upsample_bilinear(score, H, W))
+        if sname != "conv5":
+            x = _pool2(x, 2 if sname != "conv4" else 1)
+    fused = _conv(jnp.concatenate(side_scores, -1), params["fuse"], compute_dtype)
+    return jax.nn.sigmoid(fused[..., 0])
