@@ -1,0 +1,409 @@
+"""Host-side SLAM map: keyframes, mappoints, maplines, covisibility.
+
+Replaces the reference's pointer-graph map (Frame/Mappoint/Mapline/Map,
+frame.cc / mappoint.cc / mapline.cc / map.cc) with preallocated
+struct-of-arrays numpy storage. Insertion/bookkeeping is cheap host work;
+every compute-heavy step (triangulation, BA) GATHERS a fixed-shape window,
+runs a jitted kernel, and SCATTERS results back — the TPU-native split of
+mutable-graph bookkeeping vs. dense batched math.
+
+Covisibility is a dense (KF, KF) uint16 weight matrix (shared valid
+mappoints, map.cc:897-938); neighbor selection for BA is a top-k slice of
+one row instead of the reference's BFS with ordered sets (map.cc:471-525).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from rspl_slam_tpu.config import PipelineConfig
+
+__all__ = ["MapStore"]
+
+# mappoint status (mappoint.h type enum)
+PT_INVALID = 0
+PT_UNTRIANGULATED = 1
+PT_GOOD = 2
+PT_BAD = 3
+
+MAX_OBS = 16  # static per-landmark observer capacity (local BA window ≤ 10)
+
+
+class MapStore:
+    def __init__(self, max_keypoints: int, max_lines: int,
+                 cfg: PipelineConfig | None = None, desc_dim: int = 256):
+        cfg = cfg or PipelineConfig()
+        self.cfg = cfg
+        KF = cfg.max_map_keyframes
+        MP = cfg.max_map_points
+        ML = cfg.max_map_lines
+        K = max_keypoints
+        LN = max_lines
+        self.K = K
+        self.LN = LN
+
+        # keyframes
+        self.kf_valid = np.zeros(KF, bool)
+        self.kf_frame_id = np.full(KF, -1, np.int64)
+        self.kf_time = np.zeros(KF)
+        self.kf_pose = np.tile(np.eye(4), (KF, 1, 1))  # Twc
+        self.kf_fixed = np.zeros(KF, bool)
+        # per-keyframe features (meas = [u, v, uR]; uR<0 → mono)
+        self.kf_meas = np.zeros((KF, K, 3), np.float32)
+        self.kf_kpt_valid = np.zeros((KF, K), bool)
+        self.kf_desc = np.zeros((KF, K, desc_dim), np.float16)
+        self.kf_score = np.zeros((KF, K), np.float16)
+        self.kf_track = np.full((KF, K), -1, np.int64)  # → mappoint slot
+        # per-keyframe 2D lines (left + right) and line→mapline links
+        self.kf_lines = np.zeros((KF, LN, 4), np.float32)
+        self.kf_lines_right = np.zeros((KF, LN, 4), np.float32)
+        self.kf_line_valid = np.zeros((KF, LN), bool)
+        self.kf_line_has_right = np.zeros((KF, LN), bool)
+        self.kf_line_track = np.full((KF, LN), -1, np.int64)  # → mapline slot
+        # points-on-line membership: for each frame line, keypoint slots on it
+        self.kf_line_points = np.full((KF, LN, 32), -1, np.int32)
+        self.n_kf = 0
+
+        # mappoints
+        self.pt_status = np.zeros(MP, np.int8)
+        self.pt_pos = np.zeros((MP, 3))
+        self.pt_desc = np.zeros((MP, desc_dim), np.float16)
+        self.pt_obs_kf = np.full((MP, MAX_OBS), -1, np.int32)  # kf slot
+        self.pt_obs_kpt = np.full((MP, MAX_OBS), -1, np.int32)
+        self.pt_obs_n = np.zeros(MP, np.int32)
+        self.n_pt = 0
+
+        # maplines
+        self.ln_valid = np.zeros(ML, bool)
+        self.ln_plucker = np.zeros((ML, 6))
+        self.ln_endpoints = np.zeros((ML, 2, 3))
+        self.ln_has_endpoints = np.zeros(ML, bool)
+        self.ln_obs_kf = np.full((ML, MAX_OBS), -1, np.int32)
+        self.ln_obs_idx = np.full((ML, MAX_OBS), -1, np.int32)
+        self.ln_obs_n = np.zeros(ML, np.int32)
+        self.n_ln = 0
+
+        # covisibility weights (shared valid mappoints)
+        self.covis = np.zeros((KF, KF), np.uint16)
+
+    # ------------------------------------------------------------------ kfs
+    def add_keyframe(self, frame_id, time, Twc, meas, kpt_valid, desc, score,
+                     fixed=False, lines=None, lines_right=None,
+                     line_valid=None, line_has_right=None, line_points=None):
+        k = self.n_kf
+        assert k < self.kf_valid.shape[0], "keyframe capacity exceeded"
+        self.kf_valid[k] = True
+        self.kf_frame_id[k] = frame_id
+        self.kf_time[k] = time
+        self.kf_pose[k] = Twc
+        self.kf_fixed[k] = fixed
+        n = meas.shape[0]
+        self.kf_meas[k, :n] = meas
+        self.kf_kpt_valid[k, :n] = kpt_valid
+        self.kf_desc[k, :n] = desc
+        self.kf_score[k, :n] = score
+        if lines is not None:
+            m = lines.shape[0]
+            self.kf_lines[k, :m] = lines
+            self.kf_line_valid[k, :m] = line_valid
+            if lines_right is not None:
+                self.kf_lines_right[k, :m] = lines_right
+                self.kf_line_has_right[k, :m] = line_has_right
+            if line_points is not None:
+                self.kf_line_points[k, :m, : line_points.shape[1]] = line_points
+        self.n_kf += 1
+        return k
+
+    # --------------------------------------------------------------- points
+    def new_mappoint(self, pos, desc, status=PT_GOOD) -> int:
+        i = self.n_pt
+        assert i < self.pt_status.shape[0], "mappoint capacity exceeded"
+        self.pt_status[i] = status
+        self.pt_pos[i] = pos
+        self.pt_desc[i] = desc
+        self.n_pt += 1
+        return i
+
+    def add_point_obs(self, pt: int, kf: int, kpt: int):
+        n = self.pt_obs_n[pt]
+        if n < MAX_OBS:
+            self.pt_obs_kf[pt, n] = kf
+            self.pt_obs_kpt[pt, n] = kpt
+            self.pt_obs_n[pt] = n + 1
+        else:  # ring-replace the oldest observation
+            self.pt_obs_kf[pt, :-1] = self.pt_obs_kf[pt, 1:]
+            self.pt_obs_kpt[pt, :-1] = self.pt_obs_kpt[pt, 1:]
+            self.pt_obs_kf[pt, -1] = kf
+            self.pt_obs_kpt[pt, -1] = kpt
+        self.kf_track[kf, kpt] = pt
+
+    def remove_point_obs(self, pt: int, kf: int):
+        n = self.pt_obs_n[pt]
+        keep = self.pt_obs_kf[pt, :n] != kf
+        kpts = self.pt_obs_kpt[pt, :n][~keep]
+        for kp in kpts:
+            self.kf_track[kf, kp] = -1
+        m = keep.sum()
+        self.pt_obs_kf[pt, :m] = self.pt_obs_kf[pt, :n][keep]
+        self.pt_obs_kpt[pt, :m] = self.pt_obs_kpt[pt, :n][keep]
+        self.pt_obs_kf[pt, m:n] = -1
+        self.pt_obs_kpt[pt, m:n] = -1
+        self.pt_obs_n[pt] = m
+        if m == 0:
+            self.pt_status[pt] = PT_BAD
+
+    # ---------------------------------------------------------------- lines
+    def new_mapline(self) -> int:
+        i = self.n_ln
+        assert i < self.ln_valid.shape[0], "mapline capacity exceeded"
+        self.ln_valid[i] = True
+        self.n_ln += 1
+        return i
+
+    def add_line_obs(self, ln: int, kf: int, idx: int):
+        n = self.ln_obs_n[ln]
+        if n < MAX_OBS:
+            self.ln_obs_kf[ln, n] = kf
+            self.ln_obs_idx[ln, n] = idx
+            self.ln_obs_n[ln] = n + 1
+        else:
+            self.ln_obs_kf[ln, :-1] = self.ln_obs_kf[ln, 1:]
+            self.ln_obs_idx[ln, :-1] = self.ln_obs_idx[ln, 1:]
+            self.ln_obs_kf[ln, -1] = kf
+            self.ln_obs_idx[ln, -1] = idx
+        self.kf_line_track[kf, idx] = ln
+
+    # ---------------------------------------------------------- covisibility
+    def update_covisibility(self, kf: int):
+        """Recompute covisibility weights of ``kf`` against earlier KFs:
+        weight = number of shared valid mappoints (map.cc:897-938)."""
+        tracks = self.kf_track[kf]
+        pts = tracks[(tracks >= 0)]
+        pts = pts[self.pt_status[pts] == PT_GOOD]
+        counts = np.zeros(self.n_kf, np.int64)
+        obs_kf = self.pt_obs_kf[pts]  # (n, MAX_OBS)
+        flat = obs_kf[obs_kf >= 0]
+        flat = flat[flat != kf]
+        if len(flat):
+            binc = np.bincount(flat, minlength=self.n_kf)
+            counts[: len(binc)] = binc[: self.n_kf]
+        self.covis[kf, : self.n_kf] = np.minimum(counts, 65535)
+        self.covis[: self.n_kf, kf] = self.covis[kf, : self.n_kf]
+
+    def neighbor_keyframes(self, kf: int, max_n: int = 9) -> np.ndarray:
+        """Top covisible keyframes of ``kf`` (including itself first) — the
+        BA window (SearchNeighborFrames, map.cc:471-525)."""
+        w = self.covis[kf, : self.n_kf].astype(np.int64).copy()
+        w[kf] = 0
+        order = np.argsort(-w)
+        sel = [kf] + [int(i) for i in order[: max_n - 1] if w[i] > 0]
+        return np.asarray(sel, np.int64)
+
+    def decay_covisibility(self, kf_a: int, kf_b: int, amount: int = 1):
+        w = int(self.covis[kf_a, kf_b])
+        w = max(0, w - amount)
+        self.covis[kf_a, kf_b] = w
+        self.covis[kf_b, kf_a] = w
+
+    # ------------------------------------------------------------- gathering
+    def gather_ba_window(self, center_kf: int, max_frames: int,
+                         max_points: int, max_lines_w: int,
+                         cp_capacity: int, cl_capacity: int):
+        """Assemble a fixed-shape BAProblem around ``center_kf``.
+
+        Window = top covisible KFs; plus ONE extra frame held fixed (the
+        oldest in the window — the reference fixes frames outside the window
+        or the earliest, map.cc:575-607; with ≤1 fixed frame). Landmarks:
+        mappoints with ≥1 stereo or ≥2 mono observations inside the window
+        (map.cc:652), maplines likewise (map.cc:707).
+
+        Returns (problem_dict, mapping) where mapping carries the global
+        indices needed to scatter results back. problem_dict contains numpy
+        arrays ready to wrap in local_ba.BAProblem.
+        """
+        frames = self.neighbor_keyframes(center_kf, max_frames)
+        F = max_frames
+        fsel = np.zeros(F, np.int64)
+        fsel[: len(frames)] = frames
+        f_used = np.zeros(F, bool)
+        f_used[: len(frames)] = True
+        # pose slot lookup
+        slot_of = {int(kf): i for i, kf in enumerate(frames)}
+        # fixed: the first keyframe globally stays fixed; additionally if
+        # only one frame, fix it. Else fix the oldest frame in the window.
+        fixed = np.ones(F, bool)  # padding slots fixed (inert identity rows)
+        fixed[: len(frames)] = False
+        oldest = int(frames[np.argmin(self.kf_frame_id[frames])])
+        fixed[slot_of[oldest]] = True
+        for kf in frames:
+            if self.kf_fixed[kf]:
+                fixed[slot_of[int(kf)]] = True
+
+        # candidate points: union of tracks in window frames
+        cand = np.unique(self.kf_track[frames][self.kf_track[frames] >= 0])
+        cand = cand[self.pt_status[cand] == PT_GOOD]
+
+        p_pose, p_point, p_meas, p_stereo = [], [], [], []
+        pts_sel = []
+        for pt in cand:
+            if len(pts_sel) >= max_points:
+                break
+            n = self.pt_obs_n[pt]
+            rows = []
+            n_stereo = 0
+            for o in range(n):
+                kf = int(self.pt_obs_kf[pt, o])
+                if kf not in slot_of:
+                    continue
+                kp = int(self.pt_obs_kpt[pt, o])
+                meas = self.kf_meas[kf, kp]
+                stereo = meas[2] > 0
+                n_stereo += int(stereo)
+                rows.append((slot_of[kf], meas, stereo))
+            if not rows or (n_stereo == 0 and len(rows) < 2):
+                continue
+            li = len(pts_sel)
+            pts_sel.append(pt)
+            for slot, meas, stereo in rows:
+                p_pose.append(slot)
+                p_point.append(li)
+                p_meas.append(meas)
+                p_stereo.append(stereo)
+
+        # candidate lines
+        l_pose, l_line, l_eps, l_eps_r, l_stereo = [], [], [], [], []
+        lns_sel = []
+        ltracks = self.kf_line_track[frames]
+        lcand = np.unique(ltracks[ltracks >= 0])
+        lcand = lcand[self.ln_valid[lcand] & self.ln_has_endpoints[lcand]]
+        for ln in lcand:
+            if len(lns_sel) >= max_lines_w:
+                break
+            rows = []
+            n_stereo = 0
+            for o in range(self.ln_obs_n[ln]):
+                kf = int(self.ln_obs_kf[ln, o])
+                if kf not in slot_of:
+                    continue
+                idx = int(self.ln_obs_idx[ln, o])
+                seg = self.kf_lines[kf, idx]
+                stereo = bool(self.kf_line_has_right[kf, idx])
+                segr = self.kf_lines_right[kf, idx]
+                n_stereo += int(stereo)
+                rows.append((slot_of[kf], seg, segr, stereo))
+            if not rows or (n_stereo == 0 and len(rows) < 2):
+                continue
+            li = len(lns_sel)
+            lns_sel.append(ln)
+            for slot, seg, segr, stereo in rows:
+                l_pose.append(slot)
+                l_line.append(li)
+                l_eps.append(seg.reshape(2, 2))
+                l_eps_r.append(segr.reshape(2, 2))
+                l_stereo.append(stereo)
+
+        def pad_arr(lst, cap, shape, dtype=np.float64):
+            out = np.zeros((cap, *shape), dtype)
+            n = min(len(lst), cap)
+            if n:
+                out[:n] = np.asarray(lst[:n], dtype)
+            return out, n
+
+        P = max_points
+        Lw = max_lines_w
+        points = np.zeros((P, 3))
+        if pts_sel:
+            points[: len(pts_sel)] = self.pt_pos[pts_sel]
+        lines = np.tile(np.array([0, 0, 1.0, 1, 0, 0]), (Lw, 1))
+        if lns_sel:
+            lines[: len(lns_sel)] = self.ln_plucker[lns_sel]
+
+        Tcw = np.linalg.inv(self.kf_pose[fsel])
+        Tcw[~f_used] = np.eye(4)
+
+        p_pose_a, ncp = pad_arr(p_pose, cp_capacity, (), np.int32)
+        p_point_a, _ = pad_arr(p_point, cp_capacity, (), np.int32)
+        p_meas_a, _ = pad_arr(p_meas, cp_capacity, (3,))
+        p_stereo_a, _ = pad_arr(p_stereo, cp_capacity, (), bool)
+        l_pose_a, ncl = pad_arr(l_pose, cl_capacity, (), np.int32)
+        l_line_a, _ = pad_arr(l_line, cl_capacity, (), np.int32)
+        l_eps_a, _ = pad_arr(l_eps, cl_capacity, (2, 2))
+        l_eps_r_a, _ = pad_arr(l_eps_r, cl_capacity, (2, 2))
+        l_stereo_a, _ = pad_arr(l_stereo, cl_capacity, (), bool)
+
+        problem = dict(
+            Tcw=Tcw,
+            pose_fixed=fixed,
+            points=points,
+            lines=lines,
+            p_pose=p_pose_a, p_point=p_point_a, p_meas=p_meas_a,
+            p_stereo=p_stereo_a,
+            p_valid=np.arange(cp_capacity) < ncp,
+            l_pose=l_pose_a, l_line=l_line_a, l_eps=l_eps_a,
+            l_eps_r=l_eps_r_a, l_stereo=l_stereo_a,
+            l_valid=np.arange(cl_capacity) < ncl,
+        )
+        mapping = dict(
+            frames=frames, pts=np.asarray(pts_sel, np.int64),
+            lns=np.asarray(lns_sel, np.int64),
+            p_pose=np.asarray(p_pose, np.int64),
+            p_point=np.asarray(p_point, np.int64),
+            ncp=ncp, ncl=ncl,
+        )
+        return problem, mapping
+
+    def scatter_ba_result(self, result, mapping, remove_outliers=True):
+        """Write optimized poses/points/lines back; drop outlier
+        observations and decay covisibility (map.cc:733-807)."""
+        frames = mapping["frames"]
+        Tcw = np.asarray(result.Tcw, np.float64)
+        for i, kf in enumerate(frames):
+            self.kf_pose[kf] = np.linalg.inv(Tcw[i])
+        if len(mapping["pts"]):
+            self.pt_pos[mapping["pts"]] = np.asarray(result.points, np.float64)[
+                : len(mapping["pts"])
+            ]
+        if len(mapping["lns"]):
+            self.ln_plucker[mapping["lns"]] = np.asarray(result.lines, np.float64)[
+                : len(mapping["lns"])
+            ]
+        if remove_outliers:
+            inl = np.asarray(result.p_inlier)[: mapping["ncp"]]
+            for c in np.nonzero(~inl)[0]:
+                pt = int(mapping["pts"][mapping["p_point"][c]])
+                kf = int(frames[mapping["p_pose"][c]])
+                self.remove_point_obs(pt, kf)
+
+    # ------------------------------------------------------------------- io
+    def save(self, path: str):
+        """Checkpoint the full map state (npz). The reference could only
+        write text dumps it never reads back (map.cc:1026-1077); here
+        save/load round-trips so mapping can resume."""
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez_compressed(path, **{
+            k: v for k, v in self.__dict__.items()
+            if isinstance(v, np.ndarray)
+        }, n_kf=self.n_kf, n_pt=self.n_pt, n_ln=self.n_ln, K=self.K, LN=self.LN)
+
+    @classmethod
+    def load(cls, path: str, cfg: PipelineConfig | None = None):
+        data = np.load(path)
+        self = cls(int(data["K"]), int(data["LN"]), cfg,
+                   desc_dim=int(data["pt_desc"].shape[1]))
+        for k in data.files:
+            if k in ("n_kf", "n_pt", "n_ln", "K", "LN"):
+                continue
+            getattr(self, k)[...] = data[k]
+        self.n_kf = int(data["n_kf"])
+        self.n_pt = int(data["n_pt"])
+        self.n_ln = int(data["n_ln"])
+        return self
+
+    def keyframe_trajectory(self):
+        """(times, poses) of valid keyframes in insertion order — feeds the
+        TUM writer (SaveKeyframeTrajectory, map.cc:1007-1024)."""
+        sel = np.nonzero(self.kf_valid[: self.n_kf])[0]
+        return self.kf_time[sel], self.kf_pose[sel]

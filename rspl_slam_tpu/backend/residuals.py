@@ -150,20 +150,18 @@ def line_residual(
     K: CameraIntrinsics,
     Tcw: jnp.ndarray,  # (4, 4)
     L_world: jnp.ndarray,  # (N, 6) Plücker in world frame
-    endpoints: jnp.ndarray,  # (N, 2, 2) observed 2D segment endpoints (px)
+    endpoints: jnp.ndarray,  # (N, 2, 2) observed LEFT segment endpoints (px)
+    endpoints_right: jnp.ndarray,  # (N, 2, 2) observed RIGHT endpoints
     is_stereo: jnp.ndarray,  # (N,) bool — adds the right-camera pair
 ):
     """Line reprojection residual (N, 4):
-    [d(ep1, l_left), d(ep2, l_left), d(ep1R, l_right), d(ep2R, l_right)]
+    [d(epL1, l_left), d(epL2, l_left), d(epR1, l_right), d(epR2, l_right)]
     where d is the normalized point-to-line distance of the observed segment
     endpoints to the projected infinite line — EdgeSE3ProjectLine's 2-vector
-    error (edge_project_line.cc:34-41), doubled for stereo with the right
-    camera displaced by the baseline (edge_project_stereo_line.cc:22-51).
-
-    For stereo rows the caller passes the RIGHT-image endpoints in
-    ``endpoints_right``; here we keep the same observed endpoints for both
-    (matching the reference, which observes a 4-vector [ep_l; ep_r] — use
-    two separate constraint rows when right endpoints differ).
+    error (edge_project_line.cc:21-42) and EdgeStereoSE3ProjectLine's
+    4-vector error with the right camera displaced by the baseline and the
+    8-vector [left eps; right eps] measurement (edge_project_stereo_line.cc:
+    22-51). Mono rows zero the right components.
     """
     L_cam = plucker.transform(Tcw[None], L_world)
     line2d = plucker.project_to_image(L_cam, K.fx, K.fy, K.cx, K.cy)
@@ -174,8 +172,8 @@ def line_residual(
     Trw = Tcw.at[0, 3].add(-b)
     L_cam_r = plucker.transform(Trw[None], L_world)
     line2d_r = plucker.project_to_image(L_cam_r, K.fx, K.fy, K.cx, K.cy)
-    d1r = plucker.point_line_dist_2d(line2d_r, endpoints[:, 0])
-    d2r = plucker.point_line_dist_2d(line2d_r, endpoints[:, 1])
+    d1r = plucker.point_line_dist_2d(line2d_r, endpoints_right[:, 0])
+    d2r = plucker.point_line_dist_2d(line2d_r, endpoints_right[:, 1])
     s = is_stereo.astype(L_world.dtype)
     return jnp.stack([d1, d2, d1r * s, d2r * s], -1)
 

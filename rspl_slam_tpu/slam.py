@@ -1,0 +1,329 @@
+"""Top-level SLAM system — the orchestrator replacing MapBuilder
+(map_builder.cc) with a functional host loop around jitted device steps.
+
+Per-frame flow (≙ ExtractFeatureThread + TrackingThread, map_builder.cc:
+72-262, collapsed into explicit stages — the async pipelined version lives
+in pipeline.py):
+
+1. frontend.extract_pair: batched SuperPoint (+SuperGlue stereo) for the
+   pair; yields fixed-K features with stereo depth.
+2. Initialization (first frame): ≥150 keypoints, ≥100 stereo matches,
+   ≥100 stereo points; first pose = the reference's hard-coded
+   gravity-aligned matrix, held fixed (map_builder.cc:358-377).
+3. Tracking: match against the reference keyframe; collect mappoint
+   correspondences; PnP-RANSAC init + pose-only LM; 0.5 m jump check
+   (map_builder.cc:517-521); fallback re-track against the previous frame
+   promoted to keyframe when matches < min_num_match (218-236).
+4. Keyframe policy: matches < max_num_match ∨ Δangle > max_angle ∨
+   Δdist > max_distance ∨ Δframes > max_num_passed_frame (616-636).
+5. Keyframe insertion: extend matched mappoints, spawn stereo mappoints,
+   multi-view triangulate, update covisibility, run local BA on the
+   covisibility window, prune outliers (map.cc:24-109, 537-808).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rspl_slam_tpu.backend import local_ba, map_store, pnp, pose_solver
+from rspl_slam_tpu.backend.residuals import CameraIntrinsics
+from rspl_slam_tpu.config import SystemConfig
+from rspl_slam_tpu.datasets import write_tum_trajectory
+from rspl_slam_tpu.frontend.frontends import FrameFeatures
+from rspl_slam_tpu.geometry import se3, triangulation
+
+__all__ = ["SLAMSystem", "INIT_POSE"]
+
+# the reference's hard-coded gravity-aligned first pose (map_builder.cc:368-371)
+INIT_POSE = np.array(
+    [[1.0, 0, 0, 0], [0, 0, 1, 0], [0, -1, 0, 1], [0, 0, 0, 1]]
+)
+
+
+@dataclass
+class FrameRecord:
+    frame_id: int
+    time: float
+    Twc: np.ndarray
+    is_keyframe: bool = False
+    kf_slot: int = -1
+    num_inliers: int = 0
+
+
+class SLAMSystem:
+    def __init__(self, cfg: SystemConfig, frontend, enable_ba: bool = True,
+                 enable_lines: bool | None = None):
+        self.cfg = cfg
+        self.frontend = frontend
+        self.enable_ba = enable_ba
+        self.enable_lines = cfg.use_lines if enable_lines is None else enable_lines
+        cam = cfg.camera
+        self.K = CameraIntrinsics(cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+        self.map = map_store.MapStore(
+            cfg.superpoint.max_keypoints, cfg.line_detector.max_lines,
+            cfg.pipeline, desc_dim=cfg.superglue.descriptor_dim,
+        )
+        self.initialized = False
+        self.records: list[FrameRecord] = []
+        self.key = jax.random.PRNGKey(7)
+        # tracking state
+        self._last_Twc = INIT_POSE.copy()
+        self._ref_kf = -1  # map slot of the reference keyframe
+        self._ref_feats: FrameFeatures | None = None
+        self._last_feats: FrameFeatures | None = None
+        self._last_frame_meta = None  # (frame_id, time)
+        self._last_track_ok = True
+        self.timings: dict[str, list] = {}
+
+    # ------------------------------------------------------------------ api
+    def add_frame(self, index: int, t: float, img_l, img_r) -> FrameRecord:
+        t0 = time.perf_counter()
+        feats = self.frontend.extract_pair(img_l, img_r)
+        self._t("extract", t0)
+        if not self.initialized:
+            rec = self._init_map(index, t, feats)
+        else:
+            rec = self._track(index, t, feats)
+        self.records.append(rec)
+        self._last_feats = feats
+        self._last_frame_meta = (index, t, rec.Twc)
+        return rec
+
+    def save_trajectory(self, path: str, keyframes_only: bool = True):
+        if keyframes_only:
+            times, poses = self.map.keyframe_trajectory()
+        else:
+            times = np.asarray([r.time for r in self.records])
+            poses = np.stack([r.Twc for r in self.records])
+        write_tum_trajectory(path, times, poses)
+
+    def save_map(self, path: str):
+        self.map.save(path)
+
+    # ----------------------------------------------------------------- init
+    def _init_map(self, index: int, t: float, feats: FrameFeatures) -> FrameRecord:
+        n_kpts = int(feats.valid.sum())
+        stereo_ok = feats.valid & (feats.depth > 0)
+        if n_kpts < 150 or int(stereo_ok.sum()) < 100:
+            return FrameRecord(index, t, INIT_POSE.copy())
+        Twc = INIT_POSE.copy()
+        kf = self.map.add_keyframe(
+            index, t, Twc, feats.meas, feats.valid, feats.desc, feats.score,
+            fixed=True,
+        )
+        Rwc, twc = Twc[:3, :3], Twc[:3, 3]
+        created = 0
+        for i in np.nonzero(stereo_ok)[0]:
+            d = feats.depth[i]
+            pc = np.array([
+                (feats.xy[i, 0] - self.cfg.camera.cx) / self.cfg.camera.fx * d,
+                (feats.xy[i, 1] - self.cfg.camera.cy) / self.cfg.camera.fy * d,
+                d,
+            ])
+            pw = Rwc @ pc + twc
+            pt = self.map.new_mappoint(pw, feats.desc[i])
+            self.map.add_point_obs(pt, kf, int(i))
+            created += 1
+        if created < 100:
+            # roll back: cheap because nothing else references the slots
+            self.map.n_kf = 0
+            self.map.n_pt = 0
+            self.map.kf_valid[:] = False
+            self.map.pt_status[:] = 0
+            return FrameRecord(index, t, INIT_POSE.copy())
+        self.initialized = True
+        self._ref_kf = kf
+        self._ref_feats = feats
+        self._last_Twc = Twc
+        return FrameRecord(index, t, Twc, True, kf, created)
+
+    # ------------------------------------------------------------- tracking
+    def _track(self, index: int, t: float, feats: FrameFeatures) -> FrameRecord:
+        t0 = time.perf_counter()
+        i0 = self.frontend.match(feats, self._ref_feats)
+        self._t("match", t0)
+        num_match = int((i0 >= 0).sum())
+
+        # fallback: weak association with the ref keyframe → promote the
+        # previous frame to keyframe and re-anchor (map_builder.cc:218-236)
+        if (
+            num_match < self.cfg.keyframe.min_num_match
+            and self._last_feats is not None
+            and self._last_track_ok
+        ):
+            self._promote_last_frame_to_keyframe()
+            i0 = self.frontend.match(feats, self._ref_feats)
+            num_match = int((i0 >= 0).sum())
+
+        Twc, n_inl, inlier_row = self._pose_optimize(feats, i0)
+        track_ok = n_inl >= max(self.cfg.keyframe.min_num_match, 10)
+        if not track_ok:
+            Twc = self._last_Twc.copy()
+        self._last_track_ok = track_ok
+        self._last_Twc = Twc
+
+        rec = FrameRecord(index, t, Twc, num_inliers=n_inl)
+        if track_ok and self._should_add_keyframe(Twc, index, num_match):
+            kf = self._insert_keyframe(index, t, Twc, feats, i0, inlier_row)
+            rec.is_keyframe = True
+            rec.kf_slot = kf
+        return rec
+
+    def _pose_optimize(self, feats: FrameFeatures, i0: np.ndarray):
+        """PnP init + pose-only LM against mappoints matched via the
+        reference keyframe (FramePoseOptimization, map_builder.cc:509-611)."""
+        K_cap = len(i0)
+        Xw = np.zeros((K_cap, 3))
+        meas = np.zeros((K_cap, 3))
+        valid = np.zeros(K_cap, bool)
+        stereo = np.zeros(K_cap, bool)
+        ref_tracks = self.map.kf_track[self._ref_kf]
+        for i in range(K_cap):
+            j = i0[i]
+            if j < 0 or not feats.valid[i]:
+                continue
+            pt = ref_tracks[j]
+            if pt < 0 or self.map.pt_status[pt] != map_store.PT_GOOD:
+                continue
+            Xw[i] = self.map.pt_pos[pt]
+            meas[i, :2] = feats.xy[i]
+            has_st = feats.meas[i, 2] > 0
+            meas[i, 2] = feats.meas[i, 2] if has_st else 0.0
+            stereo[i] = has_st
+            valid[i] = True
+        n_valid = int(valid.sum())
+        if n_valid < 8:
+            return self._last_Twc.copy(), 0, valid & False
+
+        t0 = time.perf_counter()
+        self.key, k = jax.random.split(self.key)
+        pr = pnp.pnp_ransac(
+            self.K, jnp.asarray(self._last_Twc), jnp.asarray(Xw),
+            jnp.asarray(meas[:, :2]), jnp.asarray(valid), k,
+        )
+        Twc_init = np.asarray(se3.inverse(pr.Tcw))
+        # sanity jump check ≙ map_builder.cc:517-521
+        if (not bool(pr.ok)) or np.linalg.norm(
+            Twc_init[:3, 3] - self._last_Twc[:3, 3]
+        ) > 0.5:
+            Twc_init = self._last_Twc.copy()
+        tcfg = self.cfg.optimization.tracking
+        out = pose_solver.optimize_pose(
+            self.K, jnp.asarray(Twc_init), jnp.asarray(Xw), jnp.asarray(meas),
+            jnp.asarray(stereo), jnp.asarray(valid),
+            chi2_mono=tcfg.mono_point, chi2_stereo=tcfg.stereo_point,
+        )
+        self._t("pose_opt", t0)
+        Twc = np.asarray(se3.inverse(out.Tcw))
+        n_inl = int(out.num_inliers)
+        # reject absurd jumps after LM as well
+        if np.linalg.norm(Twc[:3, 3] - self._last_Twc[:3, 3]) > 0.5:
+            Twc = self._last_Twc.copy()
+        return Twc, n_inl, np.asarray(out.inlier)
+
+    def _should_add_keyframe(self, Twc, index, num_match) -> bool:
+        kf_cfg = self.cfg.keyframe
+        last_kf_pose = self.map.kf_pose[self._ref_kf]
+        dR = last_kf_pose[:3, :3].T @ Twc[:3, :3]
+        d_angle = float(
+            np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        )
+        d_dist = float(np.linalg.norm(Twc[:3, 3] - last_kf_pose[:3, 3]))
+        passed = index - int(self.map.kf_frame_id[self._ref_kf])
+        return (
+            num_match < kf_cfg.max_num_match
+            or d_angle > kf_cfg.max_angle
+            or d_dist > kf_cfg.max_distance
+            or passed > kf_cfg.max_num_passed_frame
+        )
+
+    def _promote_last_frame_to_keyframe(self):
+        """Tracking-degradation fallback: make the previous frame a keyframe
+        and re-anchor tracking on it (map_builder.cc:218-236)."""
+        if self._last_feats is None or self._last_frame_meta is None:
+            return
+        index, t, Twc = self._last_frame_meta
+        feats = self._last_feats
+        # previous frame has no pose-optimized mappoint inliers recorded;
+        # associate by matching to the current ref keyframe
+        i0 = self.frontend.match(feats, self._ref_feats)
+        inl = np.ones(len(i0), bool)
+        self._insert_keyframe(index, t, Twc, feats, i0, inl)
+
+    # -------------------------------------------------------------- keyframe
+    def _insert_keyframe(self, index, t, Twc, feats: FrameFeatures,
+                         i0: np.ndarray, inlier_row: np.ndarray) -> int:
+        t0 = time.perf_counter()
+        kf = self.map.add_keyframe(
+            index, t, Twc, feats.meas, feats.valid, feats.desc, feats.score,
+        )
+        ref_tracks = self.map.kf_track[self._ref_kf]
+        Rwc, twc = Twc[:3, :3], Twc[:3, 3]
+        cam = self.cfg.camera
+        for i in range(len(i0)):
+            if not feats.valid[i]:
+                continue
+            j = i0[i]
+            pt = ref_tracks[j] if j >= 0 else -1
+            if pt >= 0 and self.map.pt_status[pt] == map_store.PT_GOOD and (
+                len(inlier_row) == 0 or inlier_row[i] or j < 0
+            ):
+                # extend existing mappoint (map.cc:40-60)
+                self.map.add_point_obs(int(pt), kf, i)
+            elif feats.depth[i] > 0:
+                # new stereo landmark (map.cc:61-73 / Init path)
+                d = feats.depth[i]
+                pc = np.array([
+                    (feats.xy[i, 0] - cam.cx) / cam.fx * d,
+                    (feats.xy[i, 1] - cam.cy) / cam.fy * d,
+                    d,
+                ])
+                pw = Rwc @ pc + twc
+                new_pt = self.map.new_mappoint(pw, feats.desc[i])
+                self.map.add_point_obs(new_pt, kf, i)
+        self.map.update_covisibility(kf)
+        self._t("kf_insert", t0)
+
+        if self.enable_ba and self.map.n_kf >= 2:
+            t0 = time.perf_counter()
+            self._run_local_ba(kf)
+            self._t("local_ba", t0)
+
+        self._ref_kf = kf
+        self._ref_feats = feats
+        return kf
+
+    def _run_local_ba(self, center_kf: int):
+        p = self.cfg.pipeline
+        o = self.cfg.optimization
+        problem_np, mapping = self.map.gather_ba_window(
+            center_kf,
+            max_frames=o.max_window_keyframes,
+            max_points=p.ba_max_points,
+            max_lines_w=p.ba_max_lines,
+            cp_capacity=p.ba_max_points * 4,
+            cl_capacity=p.ba_max_lines * 4,
+        )
+        if mapping["ncp"] < 30:
+            return
+        prob = local_ba.BAProblem(**{
+            k: jnp.asarray(v) for k, v in problem_np.items()
+        })
+        bcfg = o.backend
+        result = local_ba.optimize_local_map(
+            self.K, prob,
+            chi2_mono=bcfg.mono_point, chi2_stereo=bcfg.stereo_point,
+            chi2_mono_line=bcfg.mono_line, chi2_stereo_line=bcfg.stereo_line,
+            iters1=o.ba_iters_phase1, iters2=o.ba_iters_phase2,
+        )
+        self.map.scatter_ba_result(result, mapping)
+        # keep the tracking anchor pose in sync with the optimized map
+        self._last_Twc = self.map.kf_pose[center_kf].copy()
+
+    def _t(self, name, t0):
+        self.timings.setdefault(name, []).append(time.perf_counter() - t0)

@@ -159,7 +159,7 @@ class TestLineResidual:
         uv1 = project(CAM, p)
         uv2 = project(CAM, 0.3 * p + 0.7 * q)
         eps = jnp.stack([uv1, uv2])[None]
-        r = res.line_residual(K, Tcw, L, eps, jnp.asarray([False]))
+        r = res.line_residual(K, Tcw, L, eps, eps, jnp.asarray([False]))
         np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-4)
 
     def test_offset_endpoint_distance(self):
@@ -173,7 +173,7 @@ class TestLineResidual:
         uv2 = np.array(project(CAM, q))
         uv1[1] += 3.0  # 3 px off the line
         eps = jnp.asarray(np.stack([uv1, uv2]))[None]
-        r = np.asarray(res.line_residual(K, jnp.eye(4), L, eps, jnp.asarray([False])))
+        r = np.asarray(res.line_residual(K, jnp.eye(4), L, eps, eps, jnp.asarray([False])))
         assert abs(abs(r[0, 0]) - 3.0) < 1e-3
         assert abs(r[0, 1]) < 1e-4
 

@@ -1,0 +1,88 @@
+"""End-to-end SLAM test on a synthetic sequence with the oracle frontend."""
+
+import numpy as np
+import pytest
+
+from rspl_slam_tpu.config import (
+    KeyframeConfig, PipelineConfig, SuperPointConfig, SystemConfig,
+)
+from rspl_slam_tpu.evaluation import absolute_trajectory_error, synthetic
+from rspl_slam_tpu.frontend.frontends import OracleFrontend
+from rspl_slam_tpu.slam import INIT_POSE, SLAMSystem
+
+
+def run_sequence(n_frames=40, noise_px=0.3, outlier_frac=0.05, enable_ba=True,
+                 seed=0, num_points=500):
+    cfg = SystemConfig(
+        superpoint=SuperPointConfig(max_keypoints=256),
+        pipeline=PipelineConfig(ba_max_points=512, ba_max_lines=16),
+    )
+    scene = synthetic.make_scene(num_points=num_points, seed=seed,
+                                 extent=(10.0, 6.0, 16.0))
+    traj_cam = synthetic.make_trajectory(n_frames, step=0.05, yaw_rate=0.003)
+    # ground truth world poses of the SLAM output = INIT_POSE @ traj (the
+    # first frame is pinned to the reference's gravity-aligned init pose)
+    fe = OracleFrontend(cfg, scene, noise_px=noise_px,
+                        outlier_frac=outlier_frac, seed=seed)
+    fe.poses = traj_cam
+    slam = SLAMSystem(cfg, fe, enable_ba=enable_ba)
+    for i in range(n_frames):
+        slam.add_frame(i, i * 0.05, None, None)
+    return slam, traj_cam
+
+
+class TestSLAMEndToEnd:
+    def test_initialization(self):
+        slam, traj = run_sequence(n_frames=1)
+        assert slam.initialized
+        assert slam.map.n_kf == 1
+        assert slam.map.n_pt >= 100
+        np.testing.assert_allclose(slam.map.kf_pose[0], INIT_POSE)
+
+    def test_tracking_ate_no_ba(self):
+        slam, traj = run_sequence(n_frames=30, enable_ba=False)
+        est = np.stack([r.Twc for r in slam.records])
+        ts = np.asarray([r.time for r in slam.records])
+        # GT in the SLAM world frame: first pose INIT_POSE ≙ traj[0]=I
+        gt = np.einsum("ij,njk->nik", INIT_POSE, traj)
+        res = absolute_trajectory_error(ts, est[:, :3, 3], ts, gt[:, :3, 3])
+        assert res["rmse"] < 0.01, res
+
+    def test_tracking_ate_with_ba(self):
+        slam, traj = run_sequence(n_frames=40, enable_ba=True)
+        est = np.stack([r.Twc for r in slam.records])
+        ts = np.asarray([r.time for r in slam.records])
+        gt = np.einsum("ij,njk->nik", INIT_POSE, traj)
+        res = absolute_trajectory_error(ts, est[:, :3, 3], ts, gt[:, :3, 3])
+        assert res["rmse"] < 0.01, res
+        # keyframes were created and BA ran
+        assert slam.map.n_kf >= 2
+
+    def test_keyframe_trajectory_io(self, tmp_path):
+        slam, traj = run_sequence(n_frames=25)
+        f = str(tmp_path / "kf.txt")
+        slam.save_trajectory(f)
+        from rspl_slam_tpu.datasets import read_tum_trajectory
+
+        t, p = read_tum_trajectory(f)
+        assert len(t) == slam.map.n_kf
+        assert np.isfinite(p).all()
+
+    def test_map_save_load_roundtrip(self, tmp_path):
+        slam, _ = run_sequence(n_frames=15)
+        f = str(tmp_path / "map.npz")
+        slam.save_map(f)
+        from rspl_slam_tpu.backend.map_store import MapStore
+
+        m2 = MapStore.load(f, slam.cfg.pipeline)
+        assert m2.n_kf == slam.map.n_kf
+        assert m2.n_pt == slam.map.n_pt
+        np.testing.assert_allclose(m2.kf_pose[: m2.n_kf],
+                                   slam.map.kf_pose[: slam.map.n_kf])
+
+    def test_covisibility_window(self):
+        slam, _ = run_sequence(n_frames=40)
+        if slam.map.n_kf >= 3:
+            nbrs = slam.map.neighbor_keyframes(slam.map.n_kf - 1, 9)
+            assert nbrs[0] == slam.map.n_kf - 1
+            assert len(set(nbrs.tolist())) == len(nbrs)
