@@ -41,21 +41,40 @@ def make_scene(
     depth_offset: float = 2.0,
     desc_dim: int = 256,
     seed: int = 0,
+    on_line_frac: float = 0.35,
 ) -> SyntheticScene:
-    """Points/lines in a box in front of the origin, looking down +z."""
+    """Points/lines in a box in front of the origin, looking down +z.
+
+    ``on_line_frac`` of the points are sampled ON the 3D line segments
+    (tiny jitter): real detectors fire along edges, and the reference's
+    whole line machinery (point-on-line assignment, vote matching,
+    points-based mapline triangulation) assumes such keypoints exist.
+    """
     rng = np.random.default_rng(seed)
     ex, ey, ez = extent
-    pts = rng.uniform([-ex / 2, -ey / 2, depth_offset], [ex / 2, ey / 2, depth_offset + ez],
-                      (num_points, 3))
+    lo = [-ex / 2, -ey / 2, depth_offset]
+    hi = [ex / 2, ey / 2, depth_offset + ez]
+    starts = rng.uniform(lo, hi, (num_lines, 3))
+    dirs = rng.standard_normal((num_lines, 3)) if num_lines else np.zeros((0, 3))
+    if num_lines:
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    lens = rng.uniform(1.5, 3.5, (num_lines, 1))
+    ends = starts + dirs * lens
+    lines = np.stack([starts, ends], 1) if num_lines else np.zeros((0, 2, 3))
+
+    n_on = int(num_points * on_line_frac) if num_lines else 0
+    n_free = num_points - n_on
+    pts_free = rng.uniform(lo, hi, (n_free, 3))
+    if n_on:
+        which = rng.integers(0, num_lines, n_on)
+        t = rng.uniform(0.05, 0.95, (n_on, 1))
+        pts_on = starts[which] + t * (ends[which] - starts[which])
+        pts_on += rng.standard_normal((n_on, 3)) * 0.003
+        pts = np.concatenate([pts_free, pts_on], 0)
+    else:
+        pts = pts_free
     desc = rng.standard_normal((num_points, desc_dim)).astype(np.float32)
     desc /= np.linalg.norm(desc, axis=1, keepdims=True)
-    starts = rng.uniform([-ex / 2, -ey / 2, depth_offset], [ex / 2, ey / 2, depth_offset + ez],
-                         (num_lines, 3))
-    dirs = rng.standard_normal((num_lines, 3))
-    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    lens = rng.uniform(1.0, 3.0, (num_lines, 1))
-    ends = starts + dirs * lens
-    lines = np.stack([starts, ends], 1)
     return SyntheticScene(points=pts.astype(np.float64), descriptors=desc,
                           lines=lines.astype(np.float64))
 

@@ -36,6 +36,11 @@ class FrameFeatures:
     ``meas`` packs [uL, vL, uR] with uR = −1 for keypoints without a valid
     stereo match — the layout of Frame::AddRightFeatures' outputs
     (frame.cc:150-203) as one fixed-K array.
+
+    Line fields (filled when the line pipeline is enabled): ``lines`` are
+    left-image segments [x1,y1,x2,y2]; ``line_members`` is the (L, K)
+    point-on-line membership from assign_points_to_lines; stereo-matched
+    lines carry their right-image segment (frame.cc:178-203).
     """
 
     xy: np.ndarray  # (K, 2)
@@ -44,6 +49,11 @@ class FrameFeatures:
     valid: np.ndarray  # (K,)
     meas: np.ndarray  # (K, 3) [uL, vL, uR(−1=mono)]
     depth: np.ndarray  # (K,) stereo depth (0 = none)
+    lines: np.ndarray | None = None  # (L, 4)
+    line_valid: np.ndarray | None = None  # (L,)
+    lines_right: np.ndarray | None = None  # (L, 4)
+    line_has_right: np.ndarray | None = None  # (L,)
+    line_members: np.ndarray | None = None  # (L, K) bool
 
 
 def _stereo_associate(cfg: SystemConfig, xyL, xyR, validL, validR, i0):
@@ -66,10 +76,44 @@ def _stereo_associate(cfg: SystemConfig, xyL, xyR, validL, validR, i0):
     return uR, depth
 
 
+def _clip_segment(p0, p1, W, H):
+    """Liang-Barsky clip of a segment to the image rectangle. Returns
+    (q0, q1) or None if fully outside."""
+    d = p1 - p0
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-d[0], p0[0]), (d[0], W - 1 - p0[0]),
+        (-d[1], p0[1]), (d[1], H - 1 - p0[1]),
+    ):
+        if abs(p) < 1e-12:
+            if q < 0:
+                return None
+            continue
+        r = q / p
+        if p < 0:
+            t0 = max(t0, r)
+        else:
+            t1 = min(t1, r)
+        if t0 > t1:
+            return None
+    return p0 + t0 * d, p0 + t1 * d
+
+
+def _pad_lines(segs: np.ndarray, max_lines: int):
+    out = np.zeros((max_lines, 4), np.float32)
+    n = min(len(segs), max_lines)
+    if n:
+        out[:n] = segs[:n]
+    valid = np.arange(max_lines) < n
+    return out, valid
+
+
 class NeuralFrontend:
     def __init__(self, cfg: SystemConfig, sp_params=None, sg_params=None,
-                 compute_dtype=jnp.bfloat16, seed: int = 0):
+                 compute_dtype=jnp.bfloat16, seed: int = 0, rcf_params=None,
+                 use_lines: bool | None = None):
         self.cfg = cfg
+        self.use_lines = cfg.use_lines if use_lines is None else use_lines
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         if sp_params is None:
@@ -85,6 +129,47 @@ class NeuralFrontend:
         self.sp_params = sp_params
         self.sg_params = sg_params
         self.compute_dtype = compute_dtype
+        if self.use_lines:
+            from rspl_slam_tpu.models import rcf
+
+            if rcf_params is None:
+                if cfg.line_detector.rcf_weights_path:
+                    rcf_params = rcf.load_torch_weights(
+                        cfg.line_detector.rcf_weights_path
+                    )
+                else:
+                    rcf_params = rcf.init_params(jax.random.PRNGKey(seed + 1))
+            self.rcf_params = rcf_params
+
+    def _extract_lines(self, img_l, img_r):
+        """RCF edge maps → Hough segments → merge/filter, both images —
+        ≙ RCF::infer + LineDetector::LineExtractor (map_builder.cc:98-122,
+        line_processor.cc:455-490)."""
+        from rspl_slam_tpu.models import rcf
+        from rspl_slam_tpu.ops import lines as lops
+
+        ld = self.cfg.line_detector
+        edges = rcf.edge_map(
+            self.rcf_params, jnp.asarray(np.stack([img_l, img_r])),
+            self.compute_dtype,
+        )
+        out = []
+        for b in range(2):
+            segs, valid, _ = lops.detect_line_segments(
+                edges[b], min_length=float(ld.length_threshold),
+                inlier_dist=float(ld.distance_threshold),
+                max_segments=ld.max_lines,
+            )
+            segs = np.asarray(segs)[np.asarray(valid)]
+            if ld.do_merge:
+                segs = lops.filter_short_lines(segs, 30.0)
+                if len(segs):
+                    segs = lops.merge_lines(
+                        segs, ld.angle_thr, ld.distance_thr, ld.ep_thr
+                    )
+                segs = lops.filter_short_lines(segs, 60.0)
+            out.append(segs)
+        return out[0], out[1]
 
     def extract_pair(self, img_l: np.ndarray, img_r: np.ndarray) -> FrameFeatures:
         imgs = jnp.asarray(np.stack([img_l, img_r]))
@@ -104,11 +189,43 @@ class NeuralFrontend:
         i0 = np.asarray(res.indices0[0])
         uR, depth = _stereo_associate(self.cfg, xyL, xyR, validL, validR, i0)
         meas = np.concatenate([xyL, uR[:, None]], -1)
-        return FrameFeatures(
+        ff = FrameFeatures(
             xy=xyL, score=np.asarray(feats.score[0]),
             desc=np.asarray(feats.desc[0]), valid=validL,
             meas=meas, depth=depth,
         )
+        if self.use_lines:
+            from rspl_slam_tpu.ops import lines as lops
+
+            segs_l, segs_r = self._extract_lines(img_l, img_r)
+            LN = self.cfg.line_detector.max_lines
+            lines, line_valid = _pad_lines(segs_l, LN)
+            members = np.zeros((LN, len(xyL)), bool)
+            nl = int(line_valid.sum())
+            if nl:
+                members[:nl] = lops.assign_points_to_lines(
+                    lines[:nl], xyL, validL
+                )
+            # stereo line matching via gated stereo point matches
+            # (frame.cc:178-203)
+            lines_right = np.zeros((LN, 4), np.float32)
+            has_right = np.zeros(LN, bool)
+            if nl and len(segs_r):
+                members_r = lops.assign_points_to_lines(
+                    segs_r, xyR, validR
+                )
+                gated = np.where(uR >= 0, i0, -1)
+                lm = lops.match_lines(members[:nl], members_r, gated)
+                for li in range(nl):
+                    if lm[li] >= 0:
+                        lines_right[li] = segs_r[lm[li]]
+                        has_right[li] = True
+            ff.lines = lines
+            ff.line_valid = line_valid
+            ff.lines_right = lines_right
+            ff.line_has_right = has_right
+            ff.line_members = members
+        return ff
 
     def match(self, fA: FrameFeatures, fB: FrameFeatures) -> np.ndarray:
         """Temporal matching A→B. Returns indices0 (K,) into B or −1."""
@@ -134,8 +251,10 @@ class OracleFrontend:
 
     def __init__(self, cfg: SystemConfig, scene: synth.SyntheticScene,
                  noise_px: float = 0.3, outlier_frac: float = 0.0,
-                 desc_noise: float = 0.02, seed: int = 0):
+                 desc_noise: float = 0.02, seed: int = 0,
+                 use_lines: bool | None = None):
         self.cfg = cfg
+        self.use_lines = cfg.use_lines if use_lines is None else use_lines
         self.scene = scene
         self.noise_px = noise_px
         self.outlier_frac = outlier_frac
@@ -175,7 +294,65 @@ class OracleFrontend:
         )
         ff.landmark_ids = np.full(K, -1, np.int64)
         ff.landmark_ids[:n] = vis
+        if self.use_lines and len(self.scene.lines):
+            self._add_oracle_lines(ff, Twc)
         return ff
+
+    def _add_oracle_lines(self, ff: FrameFeatures, Twc: np.ndarray):
+        """Project the scene's 3D segments into both cameras, clip to the
+        image, and attach them with point membership + right segments."""
+        from rspl_slam_tpu.ops import lines as lops
+
+        cam = self.cfg.camera
+        LN = self.cfg.line_detector.max_lines
+        H, W = cam.image_height, cam.image_width
+        Tcw = np.linalg.inv(Twc)
+        segs_l, segs_r, ids = [], [], []
+        for li, seg in enumerate(self.scene.lines):
+            Pc = seg @ Tcw[:3, :3].T + Tcw[:3, 3]
+            if (Pc[:, 2] < cam.depth_lower_thr).any():
+                continue
+            u = cam.fx * Pc[:, 0] / Pc[:, 2] + cam.cx
+            v = cam.fy * Pc[:, 1] / Pc[:, 2] + cam.cy
+            ur = u - cam.bf / Pc[:, 2]
+            cl = _clip_segment(np.array([u[0], v[0]]), np.array([u[1], v[1]]), W, H)
+            cr = _clip_segment(np.array([ur[0], v[0]]), np.array([ur[1], v[1]]), W, H)
+            if cl is None:
+                continue
+            if np.linalg.norm(cl[1] - cl[0]) < 20:
+                continue
+            noise = self.rng.standard_normal(4) * self.noise_px
+            segs_l.append(np.concatenate(cl) + noise)
+            if cr is not None and np.linalg.norm(cr[1] - cr[0]) >= 20:
+                segs_r.append(np.concatenate(cr)
+                              + self.rng.standard_normal(4) * self.noise_px)
+            else:
+                segs_r.append(None)
+            ids.append(li)
+        lines = np.zeros((LN, 4), np.float32)
+        line_valid = np.zeros(LN, bool)
+        lines_right = np.zeros((LN, 4), np.float32)
+        has_right = np.zeros(LN, bool)
+        members = np.zeros((LN, len(ff.xy)), bool)
+        line_ids = np.full(LN, -1, np.int64)
+        n = min(len(segs_l), LN)
+        for i in range(n):
+            lines[i] = segs_l[i]
+            line_valid[i] = True
+            line_ids[i] = ids[i]
+            if segs_r[i] is not None:
+                lines_right[i] = segs_r[i]
+                has_right[i] = True
+        if n:
+            members[:n] = lops.assign_points_to_lines(
+                lines[:n], ff.xy, ff.valid
+            )
+        ff.lines = lines
+        ff.line_valid = line_valid
+        ff.lines_right = lines_right
+        ff.line_has_right = has_right
+        ff.line_members = members
+        ff.line_ids = line_ids
 
     def extract_pair(self, img_l, img_r) -> FrameFeatures:
         """In oracle mode the 'images' are ignored; the pose comes from the

@@ -60,56 +60,58 @@ def triangulate_point_multiview(
 def fit_line3d_to_points(
     pts: jnp.ndarray,  # (P, 3) candidate on-line mappoint positions
     mask: jnp.ndarray,  # (P,) bool
-    num_iters: int = 3,
-    inlier_dist: float = 0.2,
+    inlier_dist: float = 0.05,
+    min_inliers: int = 3,
 ):
-    """Iterative robust 3D line fit ≙ the cv::fitLine loop with 0.2 m
-    pruning (map.cc:380-404).
+    """Robust 3D line fit — functional upgrade of the reference's iterative
+    cv::fitLine + 0.2 m pruning loop (map.cc:380-404), which degrades badly
+    when the candidate set is contaminated by accidental projective members.
 
-    Each iteration: PCA line through the masked centroid → re-mask points
-    within ``inlier_dist`` of the line → refit. Returns
-    (plucker (6,), endpoints (2,3), ok).
+    Deterministic pair-hypothesis RANSAC: every pair of candidate points
+    proposes a line; the pair with the largest inlier consensus (distance <
+    ``inlier_dist``) wins; the final line is the PCA fit of its inliers.
+    All (P, P) hypotheses are scored in one broadcasted tensor op.
 
-    Endpoints are the extreme inliers along the principal direction
-    (map.cc:405-416).
+    Returns (plucker (6,), endpoints (2,3), ok). Endpoints are the extreme
+    inliers along the direction (map.cc:405-416).
     """
     dtype = pts.dtype
+    P = pts.shape[0]
 
-    def fit(m):
-        w = m.astype(dtype)
-        cnt = jnp.maximum(jnp.sum(w), 1.0)
-        c = jnp.sum(pts * w[:, None], 0) / cnt
-        X = (pts - c) * w[:, None]
-        C = X.T @ X
-        evals, evecs = jnp.linalg.eigh(C)
-        d = evecs[:, 2]  # principal direction
-        return c, d
+    # pairwise directions (P, P, 3)
+    d = pts[None, :, :] - pts[:, None, :]
+    dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = d / jnp.maximum(dn, 1e-9)
+    pair_ok = (
+        mask[:, None] & mask[None, :] & (dn[..., 0] > 0.2)
+    )  # well-separated pairs only
+    # distance of every point k to line (i, j): ‖(pk−pi) − ⟨pk−pi, d⟩d‖
+    r = pts[None, None, :, :] - pts[:, None, None, :]  # (P, 1→P, P, 3) rel to i
+    proj = jnp.einsum("ijkc,ijc->ijk", r, d)
+    perp = r - proj[..., None] * d[:, :, None, :]
+    dist = jnp.linalg.norm(perp, axis=-1)  # (P, P, P)
+    inl = (dist < inlier_dist) & mask[None, None, :]
+    counts = jnp.sum(inl, -1) * pair_ok  # (P, P)
+    best = jnp.argmax(counts.reshape(-1))
+    bi, bj = best // P, best % P
+    consensus = inl[bi, bj] & mask
+    n_inl = jnp.sum(consensus)
 
-    m = mask
+    # PCA refinement on the consensus set
+    w = consensus.astype(dtype)
+    cnt = jnp.maximum(jnp.sum(w), 1.0)
+    c = jnp.sum(pts * w[:, None], 0) / cnt
+    X = (pts - c) * w[:, None]
+    evals, evecs = jnp.linalg.eigh(X.T @ X)
+    dirn = evecs[:, 2]
 
-    def body(_, carry):
-        m, c, d = carry
-        # distance of every point to current line
-        r = pts - c
-        proj = jnp.einsum("pi,i->p", r, d)
-        perp = r - proj[:, None] * d[None]
-        dist = jnp.linalg.norm(perp, axis=-1)
-        m2 = mask & (dist < inlier_dist)
-        # keep at least 2 points: if pruning kills everything, keep old mask
-        m2 = jnp.where(jnp.sum(m2) >= 2, m2, m)
-        c2, d2 = fit(m2)
-        return m2, c2, d2
-
-    c0, d0 = fit(m)
-    m, c, d = jax.lax.fori_loop(0, num_iters, body, (m, c0, d0))
-
-    proj = jnp.einsum("pi,i->p", pts - c, d)
+    proj = jnp.einsum("pi,i->p", pts - c, dirn)
     big = jnp.asarray(1e9, dtype)
-    tmin = jnp.min(jnp.where(m, proj, big))
-    tmax = jnp.max(jnp.where(m, proj, -big))
-    p1 = c + tmin * d
-    p2 = c + tmax * d
-    ok = (jnp.sum(m) >= 2) & (tmax - tmin > 1e-6)
+    tmin = jnp.min(jnp.where(consensus, proj, big))
+    tmax = jnp.max(jnp.where(consensus, proj, -big))
+    p1 = c + tmin * dirn
+    p2 = c + tmax * dirn
+    ok = (n_inl >= min_inliers) & (tmax - tmin > 1e-3)
     L = plucker.from_endpoints(p1, p2)
     return L, jnp.stack([p1, p2], 0), ok
 

@@ -1,0 +1,334 @@
+"""2D line-segment pipeline: detection, merging, point assignment, matching.
+
+Replaces the reference's OpenCV FastLineDetector + merge pipeline
+(line_processor.cc). The extraction step is re-designed for TPU:
+
+:func:`detect_line_segments` — a batched **Hough-transform segment
+detector** over the RCF edge-probability map, fully jittable with fixed
+shapes: top-E edge pixels → (angles × rho) vote accumulation (batched
+segment-sums) → 2D NMS peak picking → per-peak inlier gathering → longest
+occupied run along the line → endpoints. Where FLD chases pixels serially
+on the CPU, every stage here is a dense masked tensor op.
+
+The merge / assignment / vote-matching stages reproduce the reference's
+behavior contract (thresholds from LineDetectorConfig):
+
+- :func:`merge_lines` ≙ MergeLines + MergeTwoLines (line_processor.cc:
+  98-161, 492-665): angle clustering, midpoint-to-line distance, endpoint
+  gap, weighted-midpoint merge.
+- :func:`filter_short_lines` ≙ FilterShortLines (30/60 px two-pass).
+- :func:`assign_points_to_lines` ≙ AssignPointsToLines (line_processor.cc:
+  163-216): infinite-line distance < threshold inside the segment bbox
+  (with slack).
+- :func:`match_lines` ≙ MatchLines (line_processor.cc:221-283): vote
+  matrix over shared point matches, mutual argmax, ≥2 votes,
+  votes²/min(|pts₀|,|pts₁|) ≥ 0.8.
+
+These later stages run on small (≤128-line) arrays; they are plain numpy
+on the host — bookkeeping, not FLOPs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "detect_line_segments", "merge_lines", "filter_short_lines",
+    "assign_points_to_lines", "match_lines",
+]
+
+
+# ---------------------------------------------------------------------------
+# Hough-based detection (jitted)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_segments", "num_angles", "num_rho", "max_edge_pixels",
+                     "num_bins"),
+)
+def detect_line_segments(
+    edge: jnp.ndarray,  # (H, W) edge probability in [0, 1]
+    edge_threshold: float = 0.25,
+    max_segments: int = 64,
+    num_angles: int = 120,
+    num_rho: int = 240,
+    max_edge_pixels: int = 4096,
+    num_bins: int = 256,
+    inlier_dist: float = 1.5,
+    min_length: float = 10.0,
+    max_gap_bins: int = 2,
+):
+    """Returns (segments (S, 4) [x1,y1,x2,y2], valid (S,), strength (S,)).
+
+    One segment per retained Hough peak: the longest run of occupied
+    projection bins among edge pixels within ``inlier_dist`` of the peak
+    line (gaps ≤ ``max_gap_bins`` bins are bridged, mirroring FLD's pixel
+    gap tolerance/distance_threshold).
+    """
+    H, W = edge.shape
+    f32 = jnp.float32
+
+    # --- top-E edge pixels -------------------------------------------------
+    flat = edge.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, max_edge_pixels)
+    emask = vals > edge_threshold
+    ys = (idx // W).astype(f32)
+    xs = (idx % W).astype(f32)
+    w = jnp.where(emask, vals, 0.0)
+
+    # --- Hough votes -------------------------------------------------------
+    thetas = jnp.linspace(0.0, jnp.pi, num_angles, endpoint=False)
+    cos_t = jnp.cos(thetas)
+    sin_t = jnp.sin(thetas)
+    diag = float(np.hypot(H, W))
+    rho_scale = (num_rho - 1) / (2.0 * diag)
+
+    def votes_for_angle(c, s):
+        rho = xs * c + ys * s  # (E,), in [-diag, diag]
+        rbin = ((rho + diag) * rho_scale).astype(jnp.int32)
+        rbin = jnp.clip(rbin, 0, num_rho - 1)
+        return jax.ops.segment_sum(w, rbin, num_segments=num_rho)
+
+    votes = jax.vmap(votes_for_angle)(cos_t, sin_t)  # (T, R)
+
+    # --- peak picking with 2D NMS -----------------------------------------
+    pooled = jax.lax.reduce_window(
+        votes, -jnp.inf, jax.lax.max, (3, 5), (1, 1), "SAME"
+    )
+    peaks = jnp.where(votes >= pooled, votes, 0.0)
+    pvals, pidx = jax.lax.top_k(peaks.reshape(-1), max_segments)
+    t_idx = pidx // num_rho
+    r_idx = pidx % num_rho
+    peak_ok = pvals > (min_length * edge_threshold)
+
+    # --- per-peak segment extraction --------------------------------------
+    bin_len = 2.0 * diag / num_bins  # proj ∈ [−diag, diag]
+
+    def one_peak(ti, ri, ok):
+        c, s = cos_t[ti], sin_t[ti]
+        rho = ri.astype(f32) / rho_scale - diag
+        # Hough quantization (δθ ≈ π/T) truncates long segments: pixels far
+        # from the rho foot-point drift out of the inlier band. Two rounds of
+        # total-least-squares refinement on the current inliers fix it.
+        for refine_dist in (3.0 * inlier_dist, 1.5 * inlier_dist):
+            dist = jnp.abs(xs * c + ys * s - rho)
+            inl_w = jnp.where(emask & (dist < refine_dist), w, 0.0)
+            wsum = jnp.maximum(jnp.sum(inl_w), 1e-6)
+            mx = jnp.sum(inl_w * xs) / wsum
+            my = jnp.sum(inl_w * ys) / wsum
+            cxx = jnp.sum(inl_w * (xs - mx) ** 2) / wsum
+            cyy = jnp.sum(inl_w * (ys - my) ** 2) / wsum
+            cxy = jnp.sum(inl_w * (xs - mx) * (ys - my)) / wsum
+            # principal direction of the 2×2 covariance
+            phi = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)
+            dx, dy = jnp.cos(phi), jnp.sin(phi)
+            c2, s2 = -dy, dx  # normal = rot90(direction)
+            rho2 = mx * c2 + my * s2
+            # keep refinement only if enough support
+            enough = wsum > min_length * edge_threshold * 0.5
+            c = jnp.where(enough, c2, c)
+            s = jnp.where(enough, s2, s)
+            rho = jnp.where(enough, rho2, rho)
+        dist = jnp.abs(xs * c + ys * s - rho)
+        inl = emask & (dist < inlier_dist)
+        proj = -xs * s + ys * c  # position along the line, in [-diag, diag]
+        pbin = jnp.clip(((proj + diag) / bin_len).astype(jnp.int32), 0, num_bins - 1)
+        occ = jax.ops.segment_sum(inl.astype(f32), pbin, num_segments=num_bins) > 0
+        # bridge small gaps: dilate by max_gap_bins then find longest run
+        occ_d = occ
+        for _ in range(max_gap_bins):
+            occ_d = occ_d | jnp.roll(occ_d, 1) | jnp.roll(occ_d, -1)
+        # longest run via cumulative-reset: run[i] = run[i-1]+1 if occ else 0
+        def scan_fn(carry, o):
+            run = jnp.where(o, carry + 1, 0)
+            return run, run
+
+        _, runs = jax.lax.scan(scan_fn, jnp.asarray(0, jnp.int32),
+                               occ_d.astype(jnp.int32))
+        end_bin = jnp.argmax(runs)
+        run_len = runs[end_bin]
+        start_bin = end_bin - run_len + 1
+        # trim the dilation padding back off the run ends
+        start_bin = start_bin + max_gap_bins
+        end_bin = end_bin - max_gap_bins
+        s0 = start_bin.astype(f32) * bin_len - diag
+        s1 = end_bin.astype(f32) * bin_len - diag
+        # endpoints: ρ·n̂ + s·d̂ with n̂ = (c, s), d̂ = (−s, c)
+        p0 = jnp.stack([rho * c - s0 * s, rho * s + s0 * c])
+        p1 = jnp.stack([rho * c - s1 * s, rho * s + s1 * c])
+        length = (s1 - s0)
+        valid = ok & (length >= min_length)
+        return jnp.concatenate([p0, p1]), valid, length
+
+    segs, valid, lengths = jax.vmap(one_peak)(t_idx, r_idx, peak_ok)
+    return segs, valid, lengths
+
+
+# ---------------------------------------------------------------------------
+# Merging (host)
+# ---------------------------------------------------------------------------
+
+
+def _line_angle(seg):
+    return np.arctan2(seg[3] - seg[1], seg[2] - seg[0])
+
+
+def _point_line_distance(seg, p):
+    x1, y1, x2, y2 = seg
+    A, B = y2 - y1, x1 - x2
+    C = x2 * y1 - x1 * y2
+    return abs(A * p[0] + B * p[1] + C) / max(np.hypot(A, B), 1e-9)
+
+
+def merge_two_lines(a, b):
+    """Weighted-midpoint merge of two segments (MergeTwoLines,
+    line_processor.cc:98-161): the merged direction is the length-weighted
+    average; endpoints are the extreme projections of all four endpoints."""
+    la = np.hypot(a[2] - a[0], a[3] - a[1])
+    lb = np.hypot(b[2] - b[0], b[3] - b[1])
+    xg = (la * (a[0] + a[2]) / 2 + lb * (b[0] + b[2]) / 2) / (la + lb)
+    yg = (la * (a[1] + a[3]) / 2 + lb * (b[1] + b[3]) / 2) / (la + lb)
+    ta = _line_angle(a)
+    tb = _line_angle(b)
+    if abs(ta - tb) > np.pi / 2:
+        tb += np.pi if tb < ta else -np.pi
+    th = (la * ta + lb * tb) / (la + lb)
+    d = np.array([np.cos(th), np.sin(th)])
+    pts = np.array([[a[0], a[1]], [a[2], a[3]], [b[0], b[1]], [b[2], b[3]]])
+    proj = (pts - [xg, yg]) @ d
+    return np.array([
+        xg + proj.min() * d[0], yg + proj.min() * d[1],
+        xg + proj.max() * d[0], yg + proj.max() * d[1],
+    ])
+
+
+def merge_lines(segs: np.ndarray, angle_thr: float = 0.1,
+                distance_thr: float = 15.0, ep_thr: float = 30.0) -> np.ndarray:
+    """Greedy angle-sorted clustering + pairwise merge (MergeLines,
+    line_processor.cc:492-665). ``segs`` (N, 4) → (M, 4), M ≤ N."""
+    if len(segs) == 0:
+        return segs
+    segs = [np.asarray(s, np.float64) for s in segs]
+    angles = np.array([_line_angle(s) % np.pi for s in segs])
+    order = np.argsort(angles)
+    merged: list[np.ndarray] = []
+    used = np.zeros(len(segs), bool)
+    for oi in order:
+        if used[oi]:
+            continue
+        cur = segs[oi].copy()
+        used[oi] = True
+        changed = True
+        while changed:
+            changed = False
+            for oj in order:
+                if used[oj]:
+                    continue
+                cand = segs[oj]
+                da = abs((_line_angle(cur) - _line_angle(cand) + np.pi / 2) % np.pi
+                         - np.pi / 2)
+                if da > angle_thr:
+                    continue
+                mid = [(cand[0] + cand[2]) / 2, (cand[1] + cand[3]) / 2]
+                if _point_line_distance(cur, mid) > distance_thr:
+                    continue
+                # endpoint gap: min distance between endpoint pairs
+                eps_c = cur.reshape(2, 2)
+                eps_d = cand.reshape(2, 2)
+                gap = np.min(np.linalg.norm(
+                    eps_c[:, None] - eps_d[None], axis=-1
+                ))
+                # overlapping segments (projection intervals intersect) also merge
+                d = np.array([np.cos(_line_angle(cur)), np.sin(_line_angle(cur))])
+                pc = eps_c @ d
+                pd = eps_d @ d
+                overlap = (min(pc.max(), pd.max()) - max(pc.min(), pd.min())) > 0
+                if gap > ep_thr and not overlap:
+                    continue
+                cur = merge_two_lines(cur, cand)
+                used[oj] = True
+                changed = True
+        merged.append(cur)
+    return np.stack(merged)
+
+
+def filter_short_lines(segs: np.ndarray, min_length: float) -> np.ndarray:
+    if len(segs) == 0:
+        return segs
+    lengths = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+    return segs[lengths >= min_length]
+
+
+# ---------------------------------------------------------------------------
+# Point-line association + matching (host)
+# ---------------------------------------------------------------------------
+
+
+def assign_points_to_lines(segs: np.ndarray, xy: np.ndarray,
+                           point_valid: np.ndarray, max_dist: float = 6.0,
+                           bbox_slack: float = 3.0) -> np.ndarray:
+    """(L, 4) segments × (K, 2) keypoints → membership (L, K) bool:
+    infinite-line distance < max_dist AND inside the segment's bbox expanded
+    by ``bbox_slack`` (AssignPointsToLines, line_processor.cc:163-216)."""
+    L = len(segs)
+    K = len(xy)
+    if L == 0:
+        return np.zeros((0, K), bool)
+    x1, y1, x2, y2 = segs[:, 0:1], segs[:, 1:2], segs[:, 2:3], segs[:, 3:4]
+    A = y2 - y1
+    B = x1 - x2
+    C = x2 * y1 - x1 * y2
+    D = np.maximum(np.hypot(A, B), 1e-9)
+    px = xy[None, :, 0]
+    py = xy[None, :, 1]
+    dist = np.abs(A * px + B * py + C) / D  # (L, K)
+    in_bbox = (
+        (px >= np.minimum(x1, x2) - bbox_slack)
+        & (px <= np.maximum(x1, x2) + bbox_slack)
+        & (py >= np.minimum(y1, y2) - bbox_slack)
+        & (py <= np.maximum(y1, y2) + bbox_slack)
+    )
+    return (dist < max_dist) & in_bbox & point_valid[None, :]
+
+
+def match_lines(membership0: np.ndarray, membership1: np.ndarray,
+                point_matches: np.ndarray) -> np.ndarray:
+    """Vote-matrix line matching (MatchLines, line_processor.cc:221-283).
+
+    membership0 (L0, K0), membership1 (L1, K1) bool; point_matches (K0,)
+    indices into frame 1 (−1 = unmatched). Returns (L0,) line match indices
+    into frame 1 or −1. Rules: mutual row/col argmax, votes ≥ 2,
+    votes² / min(|pts₀|, |pts₁|) ≥ 0.8.
+    """
+    L0 = membership0.shape[0]
+    L1 = membership1.shape[0]
+    out = np.full(L0, -1, np.int64)
+    if L0 == 0 or L1 == 0:
+        return out
+    K0 = membership0.shape[1]
+    # permutation matrix (K0, K1) of point matches
+    votes = np.zeros((L0, L1), np.int64)
+    matched = np.nonzero(point_matches >= 0)[0]
+    for k0 in matched:
+        k1 = point_matches[k0]
+        votes += np.outer(membership0[:, k0], membership1[:, k1]).astype(np.int64)
+    n0 = membership0.sum(1)
+    n1 = membership1.sum(1)
+    row_argmax = votes.argmax(1)
+    for j in range(L1):
+        col = votes[:, j]
+        i = int(col.argmax())
+        v = int(col[i])
+        if v < 2 or row_argmax[i] != j:
+            continue
+        denom = min(n0[i], n1[j])
+        if denom == 0 or (v * v) / denom < 0.8:
+            continue
+        out[i] = j
+    return out

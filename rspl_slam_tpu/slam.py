@@ -45,6 +45,18 @@ INIT_POSE = np.array(
 )
 
 
+def _members_to_lists(members: np.ndarray | None, width: int = 32) -> np.ndarray | None:
+    """(L, K) bool membership → (L, width) int32 keypoint index lists."""
+    if members is None:
+        return None
+    LN = members.shape[0]
+    out = np.full((LN, width), -1, np.int32)
+    for li in range(LN):
+        idx = np.nonzero(members[li])[0][:width]
+        out[li, : len(idx)] = idx
+    return out
+
+
 @dataclass
 class FrameRecord:
     frame_id: int
@@ -112,9 +124,15 @@ class SLAMSystem:
         if n_kpts < 150 or int(stereo_ok.sum()) < 100:
             return FrameRecord(index, t, INIT_POSE.copy())
         Twc = INIT_POSE.copy()
+        has_lines = self.enable_lines and feats.lines is not None
         kf = self.map.add_keyframe(
             index, t, Twc, feats.meas, feats.valid, feats.desc, feats.score,
             fixed=True,
+            lines=feats.lines if has_lines else None,
+            lines_right=feats.lines_right if has_lines else None,
+            line_valid=feats.line_valid if has_lines else None,
+            line_has_right=feats.line_has_right if has_lines else None,
+            line_points=_members_to_lists(feats.line_members) if has_lines else None,
         )
         Rwc, twc = Twc[:3, :3], Twc[:3, 3]
         created = 0
@@ -136,6 +154,8 @@ class SLAMSystem:
             self.map.kf_valid[:] = False
             self.map.pt_status[:] = 0
             return FrameRecord(index, t, INIT_POSE.copy())
+        if has_lines:
+            self._process_keyframe_lines(kf, feats, np.full(len(feats.xy), -1))
         self.initialized = True
         self._ref_kf = kf
         self._ref_feats = feats
@@ -259,8 +279,15 @@ class SLAMSystem:
     def _insert_keyframe(self, index, t, Twc, feats: FrameFeatures,
                          i0: np.ndarray, inlier_row: np.ndarray) -> int:
         t0 = time.perf_counter()
+        has_lines = self.enable_lines and feats.lines is not None
+        line_points = _members_to_lists(feats.line_members) if has_lines else None
         kf = self.map.add_keyframe(
             index, t, Twc, feats.meas, feats.valid, feats.desc, feats.score,
+            lines=feats.lines if has_lines else None,
+            lines_right=feats.lines_right if has_lines else None,
+            line_valid=feats.line_valid if has_lines else None,
+            line_has_right=feats.line_has_right if has_lines else None,
+            line_points=line_points,
         )
         ref_tracks = self.map.kf_track[self._ref_kf]
         Rwc, twc = Twc[:3, :3], Twc[:3, 3]
@@ -286,6 +313,8 @@ class SLAMSystem:
                 pw = Rwc @ pc + twc
                 new_pt = self.map.new_mappoint(pw, feats.desc[i])
                 self.map.add_point_obs(new_pt, kf, i)
+        if has_lines:
+            self._process_keyframe_lines(kf, feats, i0)
         self.map.update_covisibility(kf)
         self._t("kf_insert", t0)
 
@@ -297,6 +326,96 @@ class SLAMSystem:
         self._ref_kf = kf
         self._ref_feats = feats
         return kf
+
+    def _process_keyframe_lines(self, kf: int, feats: FrameFeatures,
+                                i0: np.ndarray):
+        """Line landmark management at keyframe insertion: temporal line
+        matching against the reference keyframe via the point-vote matrix
+        (TrackFrame → MatchLines, map_builder.cc:455), mapline
+        creation/extension (map.cc:74-97), and points-based triangulation
+        (TriangulateMaplineByMappoints, map.cc:341-419)."""
+        from rspl_slam_tpu.ops import lines as lops
+
+        nl = int(feats.line_valid.sum())
+        if nl == 0:
+            return
+        # temporal line matching: votes from temporal point matches
+        ref_members = None
+        if (
+            self._ref_feats is not None
+            and self._ref_feats.line_members is not None
+        ):
+            ref_members = self._ref_feats.line_members
+        line_match = np.full(nl, -1, np.int64)
+        if self._ref_kf >= 0 and ref_members is not None and ref_members.shape[0]:
+            nl_ref = int(self._ref_feats.line_valid.sum())
+            line_match = lops.match_lines(
+                feats.line_members[:nl], ref_members[:nl_ref], i0
+            )
+        ref_line_tracks = (
+            self.map.kf_line_track[self._ref_kf]
+            if self._ref_kf >= 0
+            else np.full(1, -1, np.int64)
+        )
+        for li in range(nl):
+            ln = -1
+            if line_match[li] >= 0:
+                cand = ref_line_tracks[line_match[li]]
+                if cand >= 0 and self.map.ln_valid[cand]:
+                    ln = int(cand)
+            if ln < 0:
+                ln = self.map.new_mapline()
+            self.map.add_line_obs(ln, kf, li)
+        # (re)triangulate maplines observed here from their on-line mappoints
+        self._triangulate_keyframe_maplines(kf, feats)
+
+    def _gather_mapline_points(self, ln: int):
+        """Mappoints supporting a mapline, gathered over ALL its
+        observations (map.cc:341-379). Points seen on the line from ≥2
+        viewpoints are preferred — accidental projective members differ
+        between viewpoints, true on-line points repeat."""
+        counts: dict[int, int] = {}
+        for o in range(self.map.ln_obs_n[ln]):
+            kf = self.map.ln_obs_kf[ln, o]
+            li = self.map.ln_obs_idx[ln, o]
+            if kf < 0:
+                continue
+            for k in self.map.kf_line_points[kf, li]:
+                if k < 0:
+                    break
+                pt = int(self.map.kf_track[kf, k])
+                if pt >= 0 and self.map.pt_status[pt] == map_store.PT_GOOD:
+                    counts[pt] = counts.get(pt, 0) + 1
+        multi = [p for p, c in counts.items() if c >= 2]
+        pts_idx = multi if len(multi) >= 3 else list(counts.keys())
+        return [self.map.pt_pos[p] for p in pts_idx]
+
+    def _triangulate_keyframe_maplines(self, kf: int, feats: FrameFeatures):
+        from rspl_slam_tpu.geometry import triangulation as tri
+        import jax.numpy as jnp
+
+        nl = int(feats.line_valid.sum())
+        for li in range(nl):
+            ln = self.map.kf_line_track[kf, li]
+            if ln < 0:
+                continue
+            pts = self._gather_mapline_points(ln)
+            # single-observation fits are projectively ambiguous — require a
+            # second viewpoint before accepting a 3D line
+            if len(pts) < 3 or self.map.ln_obs_n[ln] < 2:
+                continue
+            P = 32
+            arr = np.zeros((P, 3))
+            n = min(len(pts), P)
+            arr[:n] = np.asarray(pts)[:n]
+            mask = np.arange(P) < n
+            L, eps, ok = tri.fit_line3d_to_points(
+                jnp.asarray(arr), jnp.asarray(mask)
+            )
+            if bool(ok):
+                self.map.ln_plucker[ln] = np.asarray(L)
+                self.map.ln_endpoints[ln] = np.asarray(eps)
+                self.map.ln_has_endpoints[ln] = True
 
     def _run_local_ba(self, center_kf: int):
         p = self.cfg.pipeline
@@ -322,8 +441,41 @@ class SLAMSystem:
             iters1=o.ba_iters_phase1, iters2=o.ba_iters_phase2,
         )
         self.map.scatter_ba_result(result, mapping)
+        self._refresh_line_endpoints(mapping["lns"])
         # keep the tracking anchor pose in sync with the optimized map
         self._last_Twc = self.map.kf_pose[center_kf].copy()
+
+    def _refresh_line_endpoints(self, lns: np.ndarray):
+        """After BA, refresh cartesian endpoints of optimized maplines from
+        their supporting mappoints (UpdateMaplineEndpoints, map.cc:121-269)."""
+        from rspl_slam_tpu.geometry import triangulation as tri
+        import jax.numpy as jnp
+
+        for ln in lns:
+            pts = []
+            for o in range(self.map.ln_obs_n[ln]):
+                kf = self.map.ln_obs_kf[ln, o]
+                li = self.map.ln_obs_idx[ln, o]
+                if kf < 0:
+                    continue
+                for k in self.map.kf_line_points[kf, li]:
+                    if k < 0:
+                        break
+                    pt = self.map.kf_track[kf, k]
+                    if pt >= 0 and self.map.pt_status[pt] == map_store.PT_GOOD:
+                        pts.append(self.map.pt_pos[pt])
+            if len(pts) < 2:
+                continue
+            P = 32
+            arr = np.zeros((P, 3))
+            n = min(len(pts), P)
+            arr[:n] = np.asarray(pts)[:n]
+            eps, ok = tri.triangulate_line_endpoints(
+                jnp.asarray(self.map.ln_plucker[ln]), jnp.asarray(arr),
+                jnp.asarray(np.arange(P) < n),
+            )
+            if bool(ok):
+                self.map.ln_endpoints[ln] = np.asarray(eps)
 
     def _t(self, name, t0):
         self.timings.setdefault(name, []).append(time.perf_counter() - t0)

@@ -12,12 +12,14 @@ from rspl_slam_tpu.slam import INIT_POSE, SLAMSystem
 
 
 def run_sequence(n_frames=40, noise_px=0.3, outlier_frac=0.05, enable_ba=True,
-                 seed=0, num_points=500):
+                 seed=0, num_points=800, use_lines=False, num_lines=10):
     cfg = SystemConfig(
         superpoint=SuperPointConfig(max_keypoints=256),
         pipeline=PipelineConfig(ba_max_points=512, ba_max_lines=16),
+        use_lines=use_lines,
     )
     scene = synthetic.make_scene(num_points=num_points, seed=seed,
+                                 num_lines=num_lines,
                                  extent=(10.0, 6.0, 16.0))
     traj_cam = synthetic.make_trajectory(n_frames, step=0.05, yaw_rate=0.003)
     # ground truth world poses of the SLAM output = INIT_POSE @ traj (the
@@ -79,6 +81,37 @@ class TestSLAMEndToEnd:
         assert m2.n_pt == slam.map.n_pt
         np.testing.assert_allclose(m2.kf_pose[: m2.n_kf],
                                    slam.map.kf_pose[: slam.map.n_kf])
+
+    def test_point_line_slam(self):
+        """Full point+line pipeline: maplines created, triangulated, and in
+        the BA; ATE stays tight."""
+        slam, traj = run_sequence(n_frames=40, use_lines=True, num_lines=12)
+        est = np.stack([r.Twc for r in slam.records])
+        ts = np.asarray([r.time for r in slam.records])
+        gt = np.einsum("ij,njk->nik", INIT_POSE, traj)
+        res = absolute_trajectory_error(ts, est[:, :3, 3], ts, gt[:, :3, 3])
+        assert res["rmse"] < 0.01, res
+        assert slam.map.n_ln > 0
+        # at least one mapline triangulated near a GT scene line
+        tri = np.nonzero(slam.map.ln_has_endpoints[: slam.map.n_ln])[0]
+        assert len(tri) > 0
+        fe_scene = slam.frontend.scene
+        # world frame = INIT_POSE ∘ scene frame
+        ok = 0
+        for ln in tri:
+            eps = slam.map.ln_endpoints[ln]  # (2,3) world
+            eps_scene = (np.linalg.inv(INIT_POSE)[:3, :3] @ eps.T).T + \
+                np.linalg.inv(INIT_POSE)[:3, 3]
+            for seg in fe_scene.lines:
+                d = seg[1] - seg[0]
+                d = d / np.linalg.norm(d)
+                # distance of both endpoints to the GT infinite line
+                r = eps_scene - seg[0]
+                perp = r - (r @ d)[:, None] * d[None]
+                if np.linalg.norm(perp, axis=1).max() < 0.1:
+                    ok += 1
+                    break
+        assert ok >= 1, f"no mapline matches a GT line ({len(tri)} triangulated)"
 
     def test_covisibility_window(self):
         slam, _ = run_sequence(n_frames=40)
