@@ -88,6 +88,9 @@ class MapStore:
 
         # covisibility weights (shared valid mappoints)
         self.covis = np.zeros((KF, KF), np.uint16)
+        # pixel intrinsics for projection-based search (set_intrinsics)
+        self._fx = self._fy = 400.0
+        self._cx = self._cy = 200.0
 
     # ------------------------------------------------------------------ kfs
     def add_keyframe(self, frame_id, time, Twc, meas, kpt_valid, desc, score,
@@ -376,6 +379,68 @@ class MapStore:
                 pt = int(mapping["pts"][mapping["p_point"][c]])
                 kf = int(frames[mapping["p_pose"][c]])
                 self.remove_point_obs(pt, kf)
+
+    # ------------------------------------------------------- map maintenance
+    def update_mappoint_descriptors(self, pts: np.ndarray):
+        """Representative descriptor per mappoint = the observation whose
+        median cosine distance 2(1−cos) to the others is minimal
+        (UpdateMappointDescriptor, map.cc:421-469; distance utils.cc:14-16).
+        """
+        for pt in np.atleast_1d(pts):
+            n = self.pt_obs_n[pt]
+            if n < 2:
+                continue
+            descs = np.stack([
+                self.kf_desc[self.pt_obs_kf[pt, o], self.pt_obs_kpt[pt, o]]
+                .astype(np.float32)
+                for o in range(n)
+            ])
+            sims = descs @ descs.T
+            dist = 2.0 * (1.0 - sims)
+            med = np.median(dist, axis=1)
+            self.pt_desc[pt] = descs[int(np.argmin(med))]
+
+    def search_by_projection(self, kf: int, pt_indices: np.ndarray,
+                             radius_px: float = 15.0,
+                             best_thr: float = 0.35,
+                             ratio_thr: float = 0.6) -> list[tuple[int, int]]:
+        """Project mappoints into keyframe ``kf`` and match against its
+        unassociated keypoints by descriptor — the local-map association of
+        Map::SearchByProjection (map.cc:952-1005): accept when the best
+        distance 2(1−cos) < 0.35 and < 0.6 × second best.
+
+        Returns [(pt, kpt_idx)] candidate associations (not applied).
+        """
+        cam_pose = np.linalg.inv(self.kf_pose[kf])
+        out: list[tuple[int, int]] = []
+        kp_valid = self.kf_kpt_valid[kf] & (self.kf_track[kf] < 0)
+        if not kp_valid.any():
+            return out
+        kp_xy = self.kf_meas[kf, :, :2]
+        kp_desc = self.kf_desc[kf].astype(np.float32)
+        for pt in np.atleast_1d(pt_indices):
+            if self.pt_status[pt] != PT_GOOD:
+                continue
+            Xc = cam_pose[:3, :3] @ self.pt_pos[pt] + cam_pose[:3, 3]
+            if Xc[2] <= 0.1:
+                continue
+            du = kp_xy[:, 0] - (Xc[0] / Xc[2] * self._fx + self._cx)
+            dv = kp_xy[:, 1] - (Xc[1] / Xc[2] * self._fy + self._cy)
+            near = kp_valid & (du * du + dv * dv < radius_px * radius_px)
+            idx = np.nonzero(near)[0]
+            if len(idx) == 0:
+                continue
+            d = 2.0 * (1.0 - kp_desc[idx] @ self.pt_desc[pt].astype(np.float32))
+            order = np.argsort(d)
+            best = d[order[0]]
+            second = d[order[1]] if len(order) > 1 else np.inf
+            if best < best_thr and best < ratio_thr * second:
+                out.append((int(pt), int(idx[order[0]])))
+        return out
+
+    def set_intrinsics(self, fx: float, fy: float, cx: float, cy: float):
+        """Pixel intrinsics for projection-based search."""
+        self._fx, self._fy, self._cx, self._cy = fx, fy, cx, cy
 
     # ------------------------------------------------------------------- io
     def save(self, path: str):

@@ -1,0 +1,247 @@
+"""Command-line drivers — the equivalents of the reference's entry points.
+
+- ``run``   ≙ main.cpp offline driver: dataset dir → SLAM → TUM trajectory
+             (+ optional map/visualization dumps + timing report).
+- ``batch`` ≙ run_batch.py: several sequences → per-sequence ATE table
+             (ATE computed in-repo; the reference shelled out to evo_ape).
+- ``eval``  ≙ the evo_ape step alone: estimate vs ground-truth TUM files.
+- ``synth`` — synthetic-sequence run with known ground truth (no datasets
+             required; this container has none).
+- ``convert-weights`` ≙ convert2onnx/: torch .pth checkpoints → .npz pytrees
+             for SuperPoint / SuperGlue / RCF.
+
+Usage: ``python -m rspl_slam_tpu.cli <command> [args]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build_slam(args, use_lines=None):
+    from rspl_slam_tpu.config import load_system_config
+    from rspl_slam_tpu.frontend.frontends import NeuralFrontend
+    from rspl_slam_tpu.slam import SLAMSystem
+
+    cfg = load_system_config(args.config, args.camera_config)
+    if use_lines is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, use_lines=use_lines)
+    fe = NeuralFrontend(cfg)
+    return SLAMSystem(cfg, fe), cfg
+
+
+def cmd_run(args):
+    from rspl_slam_tpu.datasets import EurocDataset
+
+    slam, cfg = _build_slam(args, use_lines=not args.no_lines)
+    ds = EurocDataset(args.dataroot)
+    n = len(ds) if args.max_frames <= 0 else min(len(ds), args.max_frames)
+    print(f"dataset: {args.dataroot} ({n} frames)")
+    t0 = time.perf_counter()
+    for i in range(n):
+        fr = ds[i]
+        rec = slam.add_frame(fr.index, fr.time, fr.image_left, fr.image_right)
+        if args.verbose and i % 50 == 0:
+            print(f"frame {i}: kf={rec.is_keyframe} inliers={rec.num_inliers}")
+    wall = time.perf_counter() - t0
+    print(f"processed {n} frames in {wall:.1f}s ({n / wall:.1f} fps)")
+    slam.save_trajectory(args.traj_path)
+    print(f"trajectory → {args.traj_path}")
+    if args.save_map:
+        slam.save_map(args.save_map)
+        print(f"map → {args.save_map}")
+    if args.viz_dir:
+        _dump_viz(slam, args.viz_dir)
+    _print_timings(slam)
+
+
+def _dump_viz(slam, viz_dir):
+    from rspl_slam_tpu import visualization as viz
+
+    m = slam.map
+    pts = m.pt_pos[: m.n_pt][m.pt_status[: m.n_pt] == 2]
+    viz.save_ply_points(os.path.join(viz_dir, "mappoints.ply"), pts)
+    lns = m.ln_endpoints[: m.n_ln][m.ln_has_endpoints[: m.n_ln]]
+    if len(lns):
+        viz.save_ply_lines(os.path.join(viz_dir, "maplines.ply"), lns)
+    _, poses = m.keyframe_trajectory()
+    viz.save_trajectory_png(os.path.join(viz_dir, "trajectory.png"), poses)
+    print(f"visualization → {viz_dir}")
+
+
+def _print_timings(slam):
+    import numpy as np
+
+    for k, v in sorted(slam.timings.items()):
+        print("  %-10s n=%4d median=%6.1f ms" % (k, len(v), np.median(v) * 1e3))
+
+
+def cmd_eval(args):
+    from rspl_slam_tpu.datasets import read_tum_trajectory
+    from rspl_slam_tpu.evaluation import absolute_trajectory_error
+
+    t_est, p_est = read_tum_trajectory(args.traj)
+    t_gt, p_gt = read_tum_trajectory(args.gt)
+    res = absolute_trajectory_error(
+        t_est, p_est[:, :3, 3], t_gt, p_gt[:, :3, 3], max_dt=args.max_dt
+    )
+    print(json.dumps(res, indent=2))
+
+
+def cmd_batch(args):
+    """Loop sequence dirs under a root; each needs cam0/cam1 + a gt file."""
+    rows = []
+    for seq in sorted(os.listdir(args.root)):
+        seq_dir = os.path.join(args.root, seq)
+        if not os.path.isdir(os.path.join(seq_dir, "cam0")):
+            continue
+        ns = argparse.Namespace(**vars(args))
+        ns.dataroot = seq_dir
+        ns.traj_path = os.path.join(args.out_dir, f"{seq}.txt")
+        ns.save_map = None
+        ns.viz_dir = None
+        ns.verbose = False
+        cmd_run(ns)
+        gt = os.path.join(seq_dir, "gt.tum")
+        if os.path.exists(gt):
+            from rspl_slam_tpu.datasets import read_tum_trajectory
+            from rspl_slam_tpu.evaluation import absolute_trajectory_error
+
+            t_est, p_est = read_tum_trajectory(ns.traj_path)
+            t_gt, p_gt = read_tum_trajectory(gt)
+            res = absolute_trajectory_error(t_est, p_est[:, :3, 3], t_gt, p_gt[:, :3, 3])
+            rows.append((seq, res["rmse"]))
+    print("\nATE RMSE per sequence:")
+    for seq, rmse in rows:
+        print(f"  {seq:30s} {rmse:.4f} m")
+
+
+def cmd_synth(args):
+    from rspl_slam_tpu.config import (PipelineConfig, SuperPointConfig,
+                                      SystemConfig)
+    from rspl_slam_tpu.evaluation import absolute_trajectory_error, synthetic
+    from rspl_slam_tpu.frontend.frontends import OracleFrontend
+    from rspl_slam_tpu.slam import INIT_POSE, SLAMSystem
+
+    cfg = SystemConfig(
+        superpoint=SuperPointConfig(max_keypoints=256),
+        pipeline=PipelineConfig(ba_max_points=512, ba_max_lines=16),
+        use_lines=not args.no_lines,
+    )
+    scene = synthetic.make_scene(num_points=800, num_lines=12, seed=args.seed,
+                                 extent=(10.0, 6.0, 16.0))
+    traj = synthetic.make_trajectory(args.frames, step=0.05, yaw_rate=0.004)
+    fe = OracleFrontend(cfg, scene, noise_px=0.4, outlier_frac=0.05,
+                        seed=args.seed)
+    fe.poses = traj
+    slam = SLAMSystem(cfg, fe)
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        slam.add_frame(i, i * 0.05, None, None)
+    wall = time.perf_counter() - t0
+    est = np.stack([r.Twc for r in slam.records])
+    ts = np.asarray([r.time for r in slam.records])
+    gt = np.einsum("ij,njk->nik", INIT_POSE, traj)
+    res = absolute_trajectory_error(ts, est[:, :3, 3], ts, gt[:, :3, 3])
+    print(f"{args.frames} frames in {wall:.1f}s ({args.frames / wall:.1f} fps)")
+    print(f"keyframes={slam.map.n_kf} mappoints={slam.map.n_pt} "
+          f"maplines={slam.map.n_ln}")
+    print("ATE:", json.dumps({k: round(v, 5) if isinstance(v, float) else v
+                              for k, v in res.items()}))
+    if args.traj_path:
+        slam.save_trajectory(args.traj_path)
+    if args.viz_dir:
+        _dump_viz(slam, args.viz_dir)
+    _print_timings(slam)
+
+
+def cmd_convert_weights(args):
+    import jax
+    import jax.numpy as jnp
+
+    from rspl_slam_tpu.models import rcf, superglue, superpoint
+
+    loaders = {
+        "superpoint": superpoint.load_torch_weights,
+        "superglue": superglue.load_torch_weights,
+        "rcf": rcf.load_torch_weights,
+    }
+    params = loaders[args.model](args.input)
+    flat = {}
+
+    def flatten(prefix, obj):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                flatten(f"{prefix}/{k}" if prefix else k, v)
+        elif isinstance(obj, (list, tuple)):
+            for i, v in enumerate(obj):
+                flatten(f"{prefix}/{i}", v)
+        else:
+            flat[prefix] = np.asarray(obj)
+
+    flatten("", params)
+    np.savez_compressed(args.output, **flat)
+    print(f"{args.model}: {len(flat)} arrays → {args.output}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rspl-slam-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="offline dataset run (≙ main.cpp)")
+    pr.add_argument("--dataroot", required=True)
+    pr.add_argument("--config", default=None, help="algorithm yaml")
+    pr.add_argument("--camera-config", dest="camera_config", default=None)
+    pr.add_argument("--traj-path", dest="traj_path", default="trajectory.txt")
+    pr.add_argument("--save-map", dest="save_map", default=None)
+    pr.add_argument("--viz-dir", dest="viz_dir", default=None)
+    pr.add_argument("--max-frames", dest="max_frames", type=int, default=-1)
+    pr.add_argument("--no-lines", dest="no_lines", action="store_true")
+    pr.add_argument("-v", "--verbose", action="store_true")
+    pr.set_defaults(fn=cmd_run)
+
+    pe = sub.add_parser("eval", help="ATE of estimate vs GT (≙ evo_ape tum -a)")
+    pe.add_argument("--traj", required=True)
+    pe.add_argument("--gt", required=True)
+    pe.add_argument("--max-dt", dest="max_dt", type=float, default=0.02)
+    pe.set_defaults(fn=cmd_eval)
+
+    pb = sub.add_parser("batch", help="batch sequences (≙ run_batch.py)")
+    pb.add_argument("--root", required=True)
+    pb.add_argument("--out-dir", dest="out_dir", default="batch_out")
+    pb.add_argument("--config", default=None)
+    pb.add_argument("--camera-config", dest="camera_config", default=None)
+    pb.add_argument("--max-frames", dest="max_frames", type=int, default=-1)
+    pb.add_argument("--no-lines", dest="no_lines", action="store_true")
+    pb.set_defaults(fn=cmd_batch)
+
+    ps = sub.add_parser("synth", help="synthetic sequence with known GT")
+    ps.add_argument("--frames", type=int, default=100)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--no-lines", dest="no_lines", action="store_true")
+    ps.add_argument("--traj-path", dest="traj_path", default=None)
+    ps.add_argument("--viz-dir", dest="viz_dir", default=None)
+    ps.set_defaults(fn=cmd_synth)
+
+    pc = sub.add_parser("convert-weights",
+                        help="torch .pth → .npz pytree (≙ convert2onnx/)")
+    pc.add_argument("--model", choices=["superpoint", "superglue", "rcf"],
+                    required=True)
+    pc.add_argument("--input", required=True)
+    pc.add_argument("--output", required=True)
+    pc.set_defaults(fn=cmd_convert_weights)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

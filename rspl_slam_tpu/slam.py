@@ -80,6 +80,7 @@ class SLAMSystem:
             cfg.superpoint.max_keypoints, cfg.line_detector.max_lines,
             cfg.pipeline, desc_dim=cfg.superglue.descriptor_dim,
         )
+        self.map.set_intrinsics(cam.fx, cam.fy, cam.cx, cam.cy)
         self.initialized = False
         self.records: list[FrameRecord] = []
         self.key = jax.random.PRNGKey(7)
@@ -313,6 +314,18 @@ class SLAMSystem:
                 pw = Rwc @ pc + twc
                 new_pt = self.map.new_mappoint(pw, feats.desc[i])
                 self.map.add_point_obs(new_pt, kf, i)
+            elif pt >= 0 and self.map.pt_status[pt] == map_store.PT_UNTRIANGULATED:
+                # extend a pending mono landmark
+                self.map.add_point_obs(int(pt), kf, i)
+            else:
+                # mono-only keypoint → pending landmark, multi-view
+                # triangulated once ≥2 keyframes observe it (map.cc:40-60)
+                new_pt = self.map.new_mappoint(
+                    np.zeros(3), feats.desc[i],
+                    status=map_store.PT_UNTRIANGULATED,
+                )
+                self.map.add_point_obs(new_pt, kf, i)
+        self._triangulate_pending_points(kf)
         if has_lines:
             self._process_keyframe_lines(kf, feats, i0)
         self.map.update_covisibility(kf)
@@ -416,6 +429,46 @@ class SLAMSystem:
                 self.map.ln_plucker[ln] = np.asarray(L)
                 self.map.ln_endpoints[ln] = np.asarray(eps)
                 self.map.ln_has_endpoints[ln] = True
+
+    def _triangulate_pending_points(self, kf: int):
+        """Batch multi-view triangulation of untriangulated mappoints that
+        gained their ≥2nd observation (TriangulateMappoint, map.cc:292-339):
+        gather rays per candidate, vmap the bearing least-squares kernel,
+        promote successes to GOOD."""
+        import jax.numpy as jnp
+
+        cam = self.cfg.camera
+        tracks = self.map.kf_track[kf]
+        cand = tracks[(tracks >= 0)]
+        cand = np.unique(cand[self.map.pt_status[cand] == map_store.PT_UNTRIANGULATED])
+        cand = cand[self.map.pt_obs_n[cand] >= 2]
+        if len(cand) == 0:
+            return
+        M = map_store.MAX_OBS
+        Twc = np.tile(np.eye(4), (len(cand), M, 1, 1))
+        uvn = np.zeros((len(cand), M, 2))
+        mask = np.zeros((len(cand), M), bool)
+        for ci, pt in enumerate(cand):
+            for o in range(self.map.pt_obs_n[pt]):
+                okf = self.map.pt_obs_kf[pt, o]
+                okp = self.map.pt_obs_kpt[pt, o]
+                Twc[ci, o] = self.map.kf_pose[okf]
+                uv = self.map.kf_meas[okf, okp, :2]
+                uvn[ci, o] = [(uv[0] - cam.cx) / cam.fx, (uv[1] - cam.cy) / cam.fy]
+                mask[ci, o] = True
+        import jax
+
+        pts, ok = jax.vmap(triangulation.triangulate_point_multiview)(
+            jnp.asarray(Twc), jnp.asarray(uvn), jnp.asarray(mask)
+        )
+        pts = np.asarray(pts)
+        ok = np.asarray(ok)
+        for ci, pt in enumerate(cand):
+            if ok[ci]:
+                self.map.pt_pos[pt] = pts[ci]
+                self.map.pt_status[pt] = map_store.PT_GOOD
+        # refresh representative descriptors of multi-view points
+        self.map.update_mappoint_descriptors(cand[ok])
 
     def _run_local_ba(self, center_kf: int):
         p = self.cfg.pipeline

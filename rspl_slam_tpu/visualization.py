@@ -1,0 +1,144 @@
+"""Visualization dumps — file-based equivalent of the reference's ROS
+publishers and debug renderers (ros_publisher.cc, debug.h, utils.cc:35-69).
+
+No ROS in this stack: observability is PNG overlays + PLY point/line maps +
+trajectory plots, written asynchronously by :class:`AsyncDumper` (the
+counterpart of the five decoupled ThreadPublisher queues,
+thread_publisher.h:26-77).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+__all__ = ["draw_features", "save_ply_points", "save_ply_lines",
+           "save_trajectory_png", "AsyncDumper"]
+
+
+def _color_for_track(tid: int):
+    """Deterministic per-track color (utils.cc GenerateColor)."""
+    rng = np.random.default_rng(tid * 2654435761 % (1 << 32))
+    return rng.integers(64, 255, 3).tolist()
+
+
+def draw_features(image: np.ndarray, xy: np.ndarray, valid: np.ndarray,
+                  track_ids=None, lines=None, line_valid=None) -> np.ndarray:
+    """Feature/line overlay ≙ DrawFeatures (utils.cc:35-69): keypoints as
+    colored squares (color by track id), lines drawn in green. Returns an
+    RGB uint8 image."""
+    H, W = image.shape
+    img = np.repeat((np.clip(image, 0, 1) * 255).astype(np.uint8)[..., None], 3, -1)
+    for i in np.nonzero(valid)[0]:
+        x, y = int(round(xy[i, 0])), int(round(xy[i, 1]))
+        c = _color_for_track(int(track_ids[i]) if track_ids is not None and track_ids[i] >= 0 else i)
+        x0, x1 = max(0, x - 2), min(W, x + 3)
+        y0, y1 = max(0, y - 2), min(H, y + 3)
+        img[y0:y1, x0:x1] = c
+    if lines is not None:
+        for li in np.nonzero(line_valid)[0]:
+            x1f, y1f, x2f, y2f = lines[li]
+            n = int(max(abs(x2f - x1f), abs(y2f - y1f))) + 1
+            for t in np.linspace(0, 1, n):
+                x, y = int(round((1 - t) * x1f + t * x2f)), int(round((1 - t) * y1f + t * y2f))
+                if 0 <= x < W and 0 <= y < H:
+                    img[y, x] = [0, 255, 0]
+    return img
+
+
+def save_png(path: str, rgb: np.ndarray):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    Image.fromarray(rgb).save(path)
+
+
+def save_ply_points(path: str, points: np.ndarray, colors: np.ndarray | None = None):
+    """Mappoint cloud ≙ the PointCloud topic (ros_publisher.cc:95-130)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    n = len(points)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write("end_header\n")
+        for i in range(n):
+            row = f"{points[i, 0]:.5f} {points[i, 1]:.5f} {points[i, 2]:.5f}"
+            if colors is not None:
+                row += f" {int(colors[i, 0])} {int(colors[i, 1])} {int(colors[i, 2])}"
+            f.write(row + "\n")
+
+
+def save_ply_lines(path: str, endpoints: np.ndarray):
+    """Mapline set ≙ the LINE_LIST marker topic (ros_publisher.cc:132-183).
+    endpoints: (L, 2, 3)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    L = len(endpoints)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {2 * L}\nproperty float x\nproperty float y\nproperty float z\n")
+        f.write(f"element edge {L}\nproperty int vertex1\nproperty int vertex2\n")
+        f.write("end_header\n")
+        for seg in endpoints:
+            for p in seg:
+                f.write(f"{p[0]:.5f} {p[1]:.5f} {p[2]:.5f}\n")
+        for i in range(L):
+            f.write(f"{2 * i} {2 * i + 1}\n")
+
+
+def save_trajectory_png(path: str, poses: np.ndarray, gt: np.ndarray | None = None):
+    """Top-down trajectory plot (≙ the rviz Path topic / README figures)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.plot(poses[:, 0, 3], poses[:, 2, 3], "b-", label="estimate")
+    if gt is not None:
+        ax.plot(gt[:, 0, 3], gt[:, 2, 3], "k--", label="ground truth")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("z [m]")
+    ax.axis("equal")
+    ax.legend()
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+class AsyncDumper:
+    """Background writer thread with a bounded queue — visualization stays
+    off the hot path like the reference's publisher threads."""
+
+    def __init__(self, maxsize: int = 8):
+        self.q: queue.Queue = queue.Queue(maxsize=maxsize)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            fn, args = item
+            try:
+                fn(*args)
+            except Exception:
+                pass
+
+    def submit(self, fn, *args):
+        """Non-blocking: drops the dump if the queue is full (visualization
+        must never backpressure tracking)."""
+        try:
+            self.q.put_nowait((fn, args))
+        except queue.Full:
+            pass
+
+    def close(self):
+        self.q.put(None)
+        self._thread.join(timeout=5)

@@ -1,0 +1,182 @@
+"""Map auxiliaries: projection search, descriptor medoid, mono-point
+multi-view triangulation, CLI + visualization smoke."""
+
+import numpy as np
+import pytest
+
+from rspl_slam_tpu.backend import map_store
+from rspl_slam_tpu.config import CameraConfig, PipelineConfig
+
+
+def small_store():
+    cfg = PipelineConfig(max_map_keyframes=8, max_map_points=64, max_map_lines=8)
+    m = map_store.MapStore(16, 4, cfg, desc_dim=32)
+    cam = CameraConfig()
+    m.set_intrinsics(cam.fx, cam.fy, cam.cx, cam.cy)
+    return m, cam
+
+
+class TestSearchByProjection:
+    def test_reassociates_lost_point(self):
+        m, cam = small_store()
+        rng = np.random.default_rng(0)
+        X = np.array([0.5, -0.2, 4.0])
+        desc = rng.standard_normal(32).astype(np.float32)
+        desc /= np.linalg.norm(desc)
+        # keyframe at origin sees the point but track not set
+        u = cam.fx * X[0] / X[2] + cam.cx
+        v = cam.fy * X[1] / X[2] + cam.cy
+        meas = np.zeros((16, 3))
+        meas[3, :2] = [u + 2.0, v - 1.0]  # keypoint near projection
+        descs = rng.standard_normal((16, 32)).astype(np.float32)
+        descs[3] = desc + rng.standard_normal(32).astype(np.float32) * 0.05
+        descs /= np.linalg.norm(descs, axis=1, keepdims=True)
+        kf = m.add_keyframe(0, 0.0, np.eye(4), meas, np.ones(16, bool), descs,
+                            np.ones(16, np.float32))
+        pt = m.new_mappoint(X, desc)
+        res = m.search_by_projection(kf, np.array([pt]))
+        assert res == [(pt, 3)]
+
+    def test_rejects_bad_descriptor(self):
+        m, cam = small_store()
+        rng = np.random.default_rng(1)
+        X = np.array([0.0, 0.0, 3.0])
+        desc = rng.standard_normal(32).astype(np.float32)
+        desc /= np.linalg.norm(desc)
+        meas = np.zeros((16, 3))
+        meas[0, :2] = [cam.cx + 1, cam.cy]
+        descs = rng.standard_normal((16, 32)).astype(np.float32)
+        descs /= np.linalg.norm(descs, axis=1, keepdims=True)  # unrelated
+        kf = m.add_keyframe(0, 0.0, np.eye(4), meas, np.ones(16, bool), descs,
+                            np.ones(16, np.float32))
+        pt = m.new_mappoint(X, desc)
+        assert m.search_by_projection(kf, np.array([pt])) == []
+
+
+class TestDescriptorMedoid:
+    def test_picks_central_observation(self):
+        m, _ = small_store()
+        rng = np.random.default_rng(2)
+        base = rng.standard_normal(32).astype(np.float32)
+        base /= np.linalg.norm(base)
+        pt = m.new_mappoint(np.zeros(3), base)
+        # 3 keyframes: two observations near `base`, one outlier
+        for k, scale in enumerate([0.02, 0.02, 2.0]):
+            d = base + rng.standard_normal(32).astype(np.float32) * scale
+            d /= np.linalg.norm(d)
+            descs = np.zeros((16, 32), np.float32)
+            descs[k] = d
+            kf = m.add_keyframe(k, 0.0, np.eye(4), np.zeros((16, 3)),
+                                np.ones(16, bool), descs, np.ones(16, np.float32))
+            m.add_point_obs(pt, kf, k)
+        m.update_mappoint_descriptors(np.array([pt]))
+        sim = float(m.pt_desc[pt].astype(np.float32) @ base)
+        assert sim > 0.95  # medoid is one of the two near-base observations
+
+
+class TestMonoTriangulation:
+    def test_pending_points_promoted(self):
+        """Run SLAM with stereo disabled for most points: mono landmarks get
+        multi-view triangulated once a second keyframe sees them."""
+        from rspl_slam_tpu.config import SuperPointConfig, SystemConfig
+        from rspl_slam_tpu.evaluation import synthetic
+        from rspl_slam_tpu.frontend.frontends import OracleFrontend
+        from rspl_slam_tpu.slam import SLAMSystem
+
+        cfg = SystemConfig(
+            superpoint=SuperPointConfig(max_keypoints=256),
+            pipeline=PipelineConfig(ba_max_points=512, ba_max_lines=8),
+            use_lines=False,
+        )
+        scene = synthetic.make_scene(num_points=800, num_lines=0, seed=3,
+                                     extent=(10.0, 6.0, 16.0))
+        traj = synthetic.make_trajectory(30, step=0.08)
+        fe = OracleFrontend(cfg, scene, noise_px=0.3, seed=3)
+        fe.poses = traj
+
+        # strip stereo from 60% of observations after extraction
+        orig = fe.extract_pair
+        rng = np.random.default_rng(0)
+
+        def patched(il, ir):
+            ff = orig(il, ir)
+            kill = rng.uniform(size=len(ff.depth)) < 0.6
+            ff.depth[kill] = 0.0
+            ff.meas[kill, 2] = -1.0
+            return ff
+
+        fe.extract_pair = patched
+        slam = SLAMSystem(cfg, fe)
+        for i in range(30):
+            slam.add_frame(i, i * 0.05, None, None)
+        st = slam.map.pt_status[: slam.map.n_pt]
+        n_good = (st == map_store.PT_GOOD).sum()
+        n_pending = (st == map_store.PT_UNTRIANGULATED).sum()
+        assert slam.initialized
+        assert n_good > 150  # stereo + promoted mono points
+        # some mono points were promoted via multi-view triangulation
+        mono_promoted = 0
+        for pt in range(slam.map.n_pt):
+            if st[pt] == map_store.PT_GOOD and slam.map.pt_obs_n[pt] >= 2:
+                kf0 = slam.map.pt_obs_kf[pt, 0]
+                kp0 = slam.map.pt_obs_kpt[pt, 0]
+                if slam.map.kf_meas[kf0, kp0, 2] <= 0:
+                    mono_promoted += 1
+        assert mono_promoted > 10, mono_promoted
+
+
+class TestVizAndCLI:
+    def test_draw_features_and_ply(self, tmp_path):
+        from rspl_slam_tpu import visualization as viz
+
+        img = np.random.default_rng(0).uniform(size=(60, 80)).astype(np.float32)
+        xy = np.array([[10.0, 10.0], [40.0, 30.0]])
+        out = viz.draw_features(img, xy, np.ones(2, bool),
+                                lines=np.array([[5.0, 5, 70, 50]]),
+                                line_valid=np.ones(1, bool))
+        assert out.shape == (60, 80, 3)
+        assert out.dtype == np.uint8
+        viz.save_ply_points(str(tmp_path / "p.ply"), np.zeros((5, 3)))
+        viz.save_ply_lines(str(tmp_path / "l.ply"), np.zeros((2, 2, 3)))
+        assert (tmp_path / "p.ply").exists()
+        head = (tmp_path / "p.ply").read_text().splitlines()
+        assert head[0] == "ply" and "element vertex 5" in head[2]
+
+    def test_cli_eval(self, tmp_path, capsys):
+        from rspl_slam_tpu import cli
+        from rspl_slam_tpu.datasets import write_tum_trajectory
+
+        poses = np.tile(np.eye(4), (10, 1, 1))
+        poses[:, 0, 3] = np.arange(10) * 0.1
+        t = np.arange(10) * 0.5
+        write_tum_trajectory(str(tmp_path / "est.txt"), t, poses)
+        write_tum_trajectory(str(tmp_path / "gt.txt"), t, poses)
+        cli.main(["eval", "--traj", str(tmp_path / "est.txt"),
+                  "--gt", str(tmp_path / "gt.txt")])
+        out = capsys.readouterr().out
+        assert '"rmse"' in out
+
+    def test_cli_convert_weights_roundtrip(self, tmp_path):
+        import torch
+
+        from rspl_slam_tpu import cli
+
+        # build a torch state dict with SuperPoint's layer names
+        sd = {}
+        shapes = [
+            ("conv1a", 1, 64, 3), ("conv1b", 64, 64, 3), ("conv2a", 64, 64, 3),
+            ("conv2b", 64, 64, 3), ("conv3a", 64, 128, 3), ("conv3b", 128, 128, 3),
+            ("conv4a", 128, 128, 3), ("conv4b", 128, 128, 3),
+            ("convPa", 128, 256, 3), ("convPb", 256, 65, 1),
+            ("convDa", 128, 256, 3), ("convDb", 256, 256, 1),
+        ]
+        for name, cin, cout, k in shapes:
+            sd[f"{name}.weight"] = torch.randn(cout, cin, k, k)
+            sd[f"{name}.bias"] = torch.randn(cout)
+        pth = str(tmp_path / "sp.pth")
+        torch.save(sd, pth)
+        out = str(tmp_path / "sp.npz")
+        cli.main(["convert-weights", "--model", "superpoint",
+                  "--input", pth, "--output", out])
+        data = np.load(out)
+        assert any("conv1a" in k for k in data.files)
