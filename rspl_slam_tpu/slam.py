@@ -98,6 +98,11 @@ class SLAMSystem:
         t0 = time.perf_counter()
         feats = self.frontend.extract_pair(img_l, img_r)
         self._t("extract", t0)
+        return self.add_frame_features(index, t, feats)
+
+    def add_frame_features(self, index: int, t: float, feats) -> FrameRecord:
+        """Tracking-side entry: consume pre-extracted features (stage B of
+        the pipelined runner — ≙ TrackingThread, map_builder.cc:187-262)."""
         if not self.initialized:
             rec = self._init_map(index, t, feats)
         else:
