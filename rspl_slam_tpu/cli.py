@@ -39,6 +39,8 @@ def _build_slam(args, use_lines=None):
 
 
 def cmd_run(args):
+    from rspl_slam_tpu import native
+    from rspl_slam_tpu.camera import build_rectify_maps
     from rspl_slam_tpu.datasets import EurocDataset
 
     slam, cfg = _build_slam(args, use_lines=not args.no_lines)
@@ -46,11 +48,30 @@ def cmd_run(args):
     n = len(ds) if args.max_frames <= 0 else min(len(ds), args.max_frames)
     print(f"dataset: {args.dataroot} ({n} frames)")
     t0 = time.perf_counter()
-    for i in range(n):
-        fr = ds[i]
-        rec = slam.add_frame(fr.index, fr.time, fr.image_left, fr.image_right)
-        if args.verbose and i % 50 == 0:
-            print(f"frame {i}: kf={rec.is_keyframe} inliers={rec.num_inliers}")
+    if native.available() and not getattr(args, "no_native", False):
+        # native threaded prefetch + in-loader rectification
+        lefts, rights = ds.file_lists()
+        map_l = build_rectify_maps(cfg.camera, "left")
+        map_r = build_rectify_maps(cfg.camera, "right")
+        loader = native.NativeStereoLoader(
+            lefts[:n], rights[:n], cfg.camera.image_height,
+            cfg.camera.image_width, map_l=map_l, map_r=map_r,
+            depth=cfg.pipeline.queue_depth,
+        )
+        print("using native prefetcher"
+              + (" + rectification" if map_l is not None else ""))
+        for i, left, right in loader:
+            rec = slam.add_frame(i, ds.timestamp(i), left, right)
+            if args.verbose and i % 50 == 0:
+                print(f"frame {i}: kf={rec.is_keyframe} inliers={rec.num_inliers}")
+        loader.close()
+    else:
+        for i in range(n):
+            fr = ds[i]
+            rec = slam.add_frame(fr.index, fr.time, fr.image_left,
+                                 fr.image_right)
+            if args.verbose and i % 50 == 0:
+                print(f"frame {i}: kf={rec.is_keyframe} inliers={rec.num_inliers}")
     wall = time.perf_counter() - t0
     print(f"processed {n} frames in {wall:.1f}s ({n / wall:.1f} fps)")
     slam.save_trajectory(args.traj_path)

@@ -62,6 +62,12 @@ class EurocDataset:
             image_right=_load_gray(os.path.join(self.right_dir, name)),
         )
 
+    def file_lists(self):
+        """(left_paths, right_paths) for the native prefetcher."""
+        lefts = [os.path.join(self.left_dir, n) for n in self.names]
+        rights = [os.path.join(self.right_dir, n) for n in self.names]
+        return lefts, rights
+
 
 def write_tum_trajectory(path: str, times, poses) -> None:
     """TUM format ``t x y z qx qy qz qw`` (map.cc:1007-1024).
