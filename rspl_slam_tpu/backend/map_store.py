@@ -467,6 +467,25 @@ class MapStore:
         self.n_ln = int(data["n_ln"])
         return self
 
+    def save_map_text(self, dirpath: str):
+        """Text map dump in the reference's SaveMap layout (map.cc:
+        1026-1077): one per-keyframe file of keypoints + track ids, plus a
+        global ``mappoints.txt`` of id x y z. The npz checkpoint (save) is
+        the richer format; this one exists for tool compatibility."""
+        os.makedirs(dirpath, exist_ok=True)
+        for kf in range(self.n_kf):
+            fid = int(self.kf_frame_id[kf])
+            with open(os.path.join(dirpath, f"keyframe_{fid}.txt"), "w") as f:
+                for k in np.nonzero(self.kf_kpt_valid[kf])[0]:
+                    u, v, ur = self.kf_meas[kf, k]
+                    f.write(f"{int(self.kf_track[kf, k])} {u:.3f} {v:.3f} {ur:.3f}\n")
+        with open(os.path.join(dirpath, "mappoints.txt"), "w") as f:
+            for pt in range(self.n_pt):
+                if self.pt_status[pt] != PT_GOOD:
+                    continue
+                x, y, z = self.pt_pos[pt]
+                f.write(f"{pt} {x:.6f} {y:.6f} {z:.6f}\n")
+
     def keyframe_trajectory(self):
         """(times, poses) of valid keyframes in insertion order — feeds the
         TUM writer (SaveKeyframeTrajectory, map.cc:1007-1024)."""
