@@ -18,6 +18,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache ≙ the reference's TensorRT engine cache
+    # (super_point.cpp:333-363): second runs skip the multi-minute compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rspl_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from rspl_slam_tpu.backend import pose_solver
@@ -76,19 +81,34 @@ def main():
     stereo = jnp.ones(NC, bool)
     valid = jnp.ones(NC, bool)
 
-    args = (images, ref_xy, ref_score, ref_desc, ref_valid,
-            Twc0, Xw, meas, stereo, valid)
+    # Timing methodology: per-call wall clock over this environment's
+    # tunneled device is dominated by dispatch RTT, and block_until_ready
+    # does not reliably synchronize — so we chain ITERS dependent frame
+    # steps inside ONE jit (each step's inputs are perturbed by the
+    # previous step's outputs, so nothing can be elided or overlapped away)
+    # and materialize a single scalar at the end. total/ITERS is then an
+    # upper bound on true per-frame device time.
+    ITERS = 30
 
-    # warmup / compile
-    out = frame_step(*args)
-    jax.block_until_ready(out)
+    @jax.jit
+    def chained(images, meas):
+        def body(carry, _):
+            im, ms = carry
+            idx, Tcw = frame_step(
+                im, ref_xy, ref_score, ref_desc, ref_valid,
+                Twc0, Xw, ms, stereo, valid,
+            )
+            im2 = im + idx[0, 0].astype(jnp.float32) * 1e-9
+            ms2 = ms + Tcw[0, 3] * 1e-9
+            return (im2, ms2), Tcw[0, 3]
 
-    iters = 30
+        _, ts = jax.lax.scan(body, (images, meas), None, length=ITERS)
+        return ts.sum()
+
+    float(chained(images, meas))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = frame_step(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    float(chained(images, meas))
+    dt = (time.perf_counter() - t0) / ITERS
     fps = 1.0 / dt
 
     print(json.dumps({

@@ -378,6 +378,12 @@ class MapStore:
             for c in np.nonzero(~inl)[0]:
                 pt = int(mapping["pts"][mapping["p_point"][c]])
                 kf = int(frames[mapping["p_pose"][c]])
+                # decay covisibility between the losing pair(s) before the
+                # observation disappears (map.cc:781-798 DecreaseWeight)
+                for o in range(self.pt_obs_n[pt]):
+                    kf2 = int(self.pt_obs_kf[pt, o])
+                    if kf2 >= 0 and kf2 != kf:
+                        self.decay_covisibility(kf, kf2)
                 self.remove_point_obs(pt, kf)
 
     # ------------------------------------------------------- map maintenance

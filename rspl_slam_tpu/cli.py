@@ -24,7 +24,18 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache ≙ the reference's TensorRT engine
+    cache (super_point.cpp:333-363) — repeat runs skip compilation."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("RSPL_XLA_CACHE", "/tmp/rspl_xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _build_slam(args, use_lines=None):
+    _enable_compile_cache()
     from rspl_slam_tpu.config import load_system_config
     from rspl_slam_tpu.frontend.frontends import NeuralFrontend
     from rspl_slam_tpu.slam import SLAMSystem
