@@ -59,20 +59,15 @@ class FrameFeatures:
 def _stereo_associate(cfg: SystemConfig, xyL, xyR, validL, validR, i0):
     """Left-right matches → per-left-keypoint uR/depth with the disparity
     gate min_x_diff < uL−uR < max_x_diff, |vL−vR| ≤ max_y_diff
-    (frame.cc:157-167, camera.cc:21-23)."""
+    (frame.cc:157-167, camera.cc:21-23). Vectorized over the K slots."""
     cam = cfg.camera
-    K = xyL.shape[0]
-    uR = np.full(K, -1.0, np.float32)
-    depth = np.zeros(K, np.float32)
-    for i in range(K):
-        j = i0[i]
-        if j < 0 or not validL[i] or not validR[j]:
-            continue
-        dx = xyL[i, 0] - xyR[j, 0]
-        dy = abs(xyL[i, 1] - xyR[j, 1])
-        if cam.min_x_diff < dx < cam.max_x_diff and dy <= cam.max_y_diff:
-            uR[i] = xyR[j, 0]
-            depth[i] = cam.bf / dx
+    j = np.maximum(i0, 0)
+    matched = (i0 >= 0) & validL & validR[j]
+    dx = xyL[:, 0] - xyR[j, 0]
+    dy = np.abs(xyL[:, 1] - xyR[j, 1])
+    ok = matched & (dx > cam.min_x_diff) & (dx < cam.max_x_diff) & (dy <= cam.max_y_diff)
+    uR = np.where(ok, xyR[j, 0], -1.0).astype(np.float32)
+    depth = np.where(ok, cam.bf / np.maximum(dx, 1e-9), 0.0).astype(np.float32)
     return uR, depth
 
 

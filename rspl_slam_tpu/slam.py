@@ -100,13 +100,16 @@ class SLAMSystem:
         self._t("extract", t0)
         return self.add_frame_features(index, t, feats)
 
-    def add_frame_features(self, index: int, t: float, feats) -> FrameRecord:
+    def add_frame_features(self, index: int, t: float, feats,
+                           i0: np.ndarray | None = None) -> FrameRecord:
         """Tracking-side entry: consume pre-extracted features (stage B of
-        the pipelined runner — ≙ TrackingThread, map_builder.cc:187-262)."""
+        the pipelined runner — ≙ TrackingThread, map_builder.cc:187-262).
+        ``i0`` optionally supplies precomputed temporal matches against the
+        current reference keyframe (multi-sequence batched matching)."""
         if not self.initialized:
             rec = self._init_map(index, t, feats)
         else:
-            rec = self._track(index, t, feats)
+            rec = self._track(index, t, feats, i0)
         self.records.append(rec)
         self._last_feats = feats
         self._last_frame_meta = (index, t, rec.Twc)
@@ -169,9 +172,11 @@ class SLAMSystem:
         return FrameRecord(index, t, Twc, True, kf, created)
 
     # ------------------------------------------------------------- tracking
-    def _track(self, index: int, t: float, feats: FrameFeatures) -> FrameRecord:
+    def _track(self, index: int, t: float, feats: FrameFeatures,
+               i0: np.ndarray | None = None) -> FrameRecord:
         t0 = time.perf_counter()
-        i0 = self.frontend.match(feats, self._ref_feats)
+        if i0 is None:
+            i0 = self.frontend.match(feats, self._ref_feats)
         self._t("match", t0)
         num_match = int((i0 >= 0).sum())
 
@@ -204,24 +209,19 @@ class SLAMSystem:
         """PnP init + pose-only LM against mappoints matched via the
         reference keyframe (FramePoseOptimization, map_builder.cc:509-611)."""
         K_cap = len(i0)
-        Xw = np.zeros((K_cap, 3))
-        meas = np.zeros((K_cap, 3))
-        valid = np.zeros(K_cap, bool)
-        stereo = np.zeros(K_cap, bool)
         ref_tracks = self.map.kf_track[self._ref_kf]
-        for i in range(K_cap):
-            j = i0[i]
-            if j < 0 or not feats.valid[i]:
-                continue
-            pt = ref_tracks[j]
-            if pt < 0 or self.map.pt_status[pt] != map_store.PT_GOOD:
-                continue
-            Xw[i] = self.map.pt_pos[pt]
-            meas[i, :2] = feats.xy[i]
-            has_st = feats.meas[i, 2] > 0
-            meas[i, 2] = feats.meas[i, 2] if has_st else 0.0
-            stereo[i] = has_st
-            valid[i] = True
+        j = np.maximum(i0, 0)
+        pt = ref_tracks[j]
+        valid = (
+            (i0 >= 0) & feats.valid & (pt >= 0)
+            & (self.map.pt_status[np.maximum(pt, 0)] == map_store.PT_GOOD)
+        )
+        pt_safe = np.where(valid, pt, 0)
+        Xw = np.where(valid[:, None], self.map.pt_pos[pt_safe], 0.0)
+        stereo = valid & (feats.meas[:, 2] > 0)
+        meas = np.zeros((K_cap, 3))
+        meas[:, :2] = np.where(valid[:, None], feats.xy, 0.0)
+        meas[:, 2] = np.where(stereo, feats.meas[:, 2], 0.0)
         n_valid = int(valid.sum())
         if n_valid < 8:
             return self._last_Twc.copy(), 0, valid & False
@@ -475,7 +475,11 @@ class SLAMSystem:
         # refresh representative descriptors of multi-view points
         self.map.update_mappoint_descriptors(cand[ok])
 
-    def _run_local_ba(self, center_kf: int):
+    def gather_ba_problem(self, center_kf: int):
+        """Assemble the BA window around ``center_kf`` as (BAProblem,
+        mapping), or (None, None) when under-constrained. Split out so the
+        multi-sequence runner can batch windows from several maps into one
+        device call (parallel/multi_sequence.py)."""
         p = self.cfg.pipeline
         o = self.cfg.optimization
         problem_np, mapping = self.map.gather_ba_window(
@@ -487,10 +491,23 @@ class SLAMSystem:
             cl_capacity=p.ba_max_lines * 4,
         )
         if mapping["ncp"] < 30:
-            return
+            return None, None
         prob = local_ba.BAProblem(**{
             k: jnp.asarray(v) for k, v in problem_np.items()
         })
+        return prob, mapping
+
+    def apply_ba_result(self, result, mapping, center_kf: int):
+        self.map.scatter_ba_result(result, mapping)
+        self._refresh_line_endpoints(mapping["lns"])
+        # keep the tracking anchor pose in sync with the optimized map
+        self._last_Twc = self.map.kf_pose[center_kf].copy()
+
+    def _run_local_ba(self, center_kf: int):
+        prob, mapping = self.gather_ba_problem(center_kf)
+        if prob is None:
+            return
+        o = self.cfg.optimization
         bcfg = o.backend
         result = local_ba.optimize_local_map(
             self.K, prob,
@@ -498,10 +515,7 @@ class SLAMSystem:
             chi2_mono_line=bcfg.mono_line, chi2_stereo_line=bcfg.stereo_line,
             iters1=o.ba_iters_phase1, iters2=o.ba_iters_phase2,
         )
-        self.map.scatter_ba_result(result, mapping)
-        self._refresh_line_endpoints(mapping["lns"])
-        # keep the tracking anchor pose in sync with the optimized map
-        self._last_Twc = self.map.kf_pose[center_kf].copy()
+        self.apply_ba_result(result, mapping, center_kf)
 
     def _refresh_line_endpoints(self, lns: np.ndarray):
         """After BA, refresh cartesian endpoints of optimized maplines from
