@@ -45,7 +45,7 @@ def _build_slam(args, use_lines=None):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, use_lines=use_lines)
-    fe = NeuralFrontend(cfg)
+    fe = NeuralFrontend(cfg, matcher=getattr(args, "matcher", "superglue"))
     return SLAMSystem(cfg, fe), cfg
 
 
@@ -237,6 +237,10 @@ def main(argv=None):
     pr.add_argument("--viz-dir", dest="viz_dir", default=None)
     pr.add_argument("--max-frames", dest="max_frames", type=int, default=-1)
     pr.add_argument("--no-lines", dest="no_lines", action="store_true")
+    pr.add_argument("--matcher", choices=["superglue", "cosine"],
+                    default="superglue",
+                    help="cosine = mutual-NN on descriptors (works with "
+                         "untrained weights)")
     pr.add_argument("-v", "--verbose", action="store_true")
     pr.set_defaults(fn=cmd_run)
 

@@ -104,11 +104,23 @@ def _pad_lines(segs: np.ndarray, max_lines: int):
 
 
 class NeuralFrontend:
+    """Production frontend.
+
+    ``matcher``: "superglue" (default — requires trained weights for good
+    results) or "cosine" — masked mutual-nearest-neighbor on raw SuperPoint
+    descriptors. The cosine mode makes the full neural stack usable with
+    untrained weights (random-conv descriptors of distinct image patches
+    are already discriminative); it is also the natural fallback when only
+    SuperPoint weights are available.
+    """
+
     def __init__(self, cfg: SystemConfig, sp_params=None, sg_params=None,
                  compute_dtype=jnp.bfloat16, seed: int = 0, rcf_params=None,
-                 use_lines: bool | None = None):
+                 use_lines: bool | None = None, matcher: str = "superglue"):
         self.cfg = cfg
         self.use_lines = cfg.use_lines if use_lines is None else use_lines
+        assert matcher in ("superglue", "cosine")
+        self.matcher = matcher
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         if sp_params is None:
@@ -166,22 +178,31 @@ class NeuralFrontend:
             out.append(segs)
         return out[0], out[1]
 
+    def _match_indices(self, xy0, sc0, d0, v0, xy1, sc1, d1, v1) -> np.ndarray:
+        """Batched matching of (B,...) keypoint sets → indices0 (B, K)."""
+        if self.matcher == "cosine":
+            from rspl_slam_tpu.ops.matching import cosine_mutual_match
+
+            return np.asarray(cosine_mutual_match(d0, v0, d1, v1))
+        res = superglue.match_pair(
+            self.sg_params, xy0, sc0, d0, v0, xy1, sc1, d1, v1,
+            self.cfg.superglue, self.compute_dtype,
+        )
+        return np.asarray(res.indices0)
+
     def extract_pair(self, img_l: np.ndarray, img_r: np.ndarray) -> FrameFeatures:
         imgs = jnp.asarray(np.stack([img_l, img_r]))
         feats = superpoint.extract(
             self.sp_params, imgs, self.cfg.superpoint, self.compute_dtype
         )
-        res = superglue.match_pair(
-            self.sg_params,
+        i0 = self._match_indices(
             feats.xy[:1], feats.score[:1], feats.desc[:1], feats.valid[:1],
             feats.xy[1:], feats.score[1:], feats.desc[1:], feats.valid[1:],
-            self.cfg.superglue, self.compute_dtype,
-        )
+        )[0]
         xyL = np.asarray(feats.xy[0])
         xyR = np.asarray(feats.xy[1])
         validL = np.asarray(feats.valid[0])
         validR = np.asarray(feats.valid[1])
-        i0 = np.asarray(res.indices0[0])
         uR, depth = _stereo_associate(self.cfg, xyL, xyR, validL, validR, i0)
         meas = np.concatenate([xyL, uR[:, None]], -1)
         ff = FrameFeatures(
@@ -224,15 +245,12 @@ class NeuralFrontend:
 
     def match(self, fA: FrameFeatures, fB: FrameFeatures) -> np.ndarray:
         """Temporal matching A→B. Returns indices0 (K,) into B or −1."""
-        res = superglue.match_pair(
-            self.sg_params,
+        return self._match_indices(
             jnp.asarray(fA.xy)[None], jnp.asarray(fA.score)[None],
             jnp.asarray(fA.desc)[None], jnp.asarray(fA.valid)[None],
             jnp.asarray(fB.xy)[None], jnp.asarray(fB.score)[None],
             jnp.asarray(fB.desc)[None], jnp.asarray(fB.valid)[None],
-            self.cfg.superglue, self.compute_dtype,
-        )
-        return np.asarray(res.indices0[0])
+        )[0]
 
 
 class OracleFrontend:

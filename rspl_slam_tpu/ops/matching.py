@@ -8,6 +8,7 @@ expressed as fixed-shape masked array ops.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["normalize_keypoints", "mutual_match_decode", "match_distance"]
@@ -56,3 +57,39 @@ def mutual_match_decode(
 def match_distance(ms0: jnp.ndarray, ms1: jnp.ndarray) -> jnp.ndarray:
     """DMatch-style distance 1 − (ms0 + ms1)/2 (point_matching.cc:24-32)."""
     return 1.0 - 0.5 * (ms0 + ms1)
+
+
+def cosine_mutual_match(
+    desc0: jnp.ndarray,  # (B, M, C) L2-normalized
+    mask0: jnp.ndarray,  # (B, M)
+    desc1: jnp.ndarray,  # (B, N, C)
+    mask1: jnp.ndarray,  # (B, N)
+    min_similarity: float = 0.7,
+    ratio: float = 0.95,
+):
+    """Masked mutual-nearest-neighbor cosine matching with a Lowe-style
+    ratio test. Returns indices0 (B, M) int32 (−1 = no match).
+
+    The matcher-free fallback: one batched (M, N) matmul + two argmaxes —
+    used when SuperGlue weights are untrained/unavailable. The descriptor
+    distance convention matches utils.cc:14-16 (2(1−cos)).
+    """
+    sim = jnp.einsum("bmc,bnc->bmn", desc0, desc1,
+                     preferred_element_type=jnp.float32)
+    neg = -2.0
+    sim = jnp.where(mask0[:, :, None] & mask1[:, None, :], sim, neg)
+    best0 = jnp.argmax(sim, axis=2)  # (B, M)
+    best1 = jnp.argmax(sim, axis=1)  # (B, N)
+    m_idx = jnp.arange(sim.shape[1])[None]
+    mutual = jnp.take_along_axis(best1, best0, axis=1) == m_idx
+    top = jnp.take_along_axis(sim, best0[:, :, None], axis=2)[..., 0]
+    # second best for the ratio test
+    sim2 = jnp.where(
+        jax.nn.one_hot(best0, sim.shape[2], dtype=bool), neg, sim
+    )
+    second = jnp.max(sim2, axis=2)
+    ok = (
+        mutual & mask0 & (top > min_similarity)
+        & ((1.0 - top) < ratio * (1.0 - second))
+    )
+    return jnp.where(ok, best0, -1).astype(jnp.int32)
