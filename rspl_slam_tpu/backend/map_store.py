@@ -127,6 +127,10 @@ class MapStore:
         self.pt_status[i] = status
         self.pt_pos[i] = pos
         self.pt_desc[i] = desc
+        # clear observation state in case the slot is ever reused
+        self.pt_obs_kf[i] = -1
+        self.pt_obs_kpt[i] = -1
+        self.pt_obs_n[i] = 0
         self.n_pt += 1
         return i
 
@@ -137,6 +141,10 @@ class MapStore:
             self.pt_obs_kpt[pt, n] = kpt
             self.pt_obs_n[pt] = n + 1
         else:  # ring-replace the oldest observation
+            kf_old = self.pt_obs_kf[pt, 0]
+            kp_old = self.pt_obs_kpt[pt, 0]
+            if kf_old >= 0 and self.kf_track[kf_old, kp_old] == pt:
+                self.kf_track[kf_old, kp_old] = -1  # no stale back-pointer
             self.pt_obs_kf[pt, :-1] = self.pt_obs_kf[pt, 1:]
             self.pt_obs_kpt[pt, :-1] = self.pt_obs_kpt[pt, 1:]
             self.pt_obs_kf[pt, -1] = kf
@@ -165,6 +173,22 @@ class MapStore:
         self.ln_valid[i] = True
         self.n_ln += 1
         return i
+
+    def remove_line_obs(self, ln: int, kf: int):
+        """Drop keyframe ``kf``'s observation of mapline ``ln``
+        (RemoveLineOutliers, map.cc:736-757)."""
+        n = self.ln_obs_n[ln]
+        keep = self.ln_obs_kf[ln, :n] != kf
+        for idx in self.ln_obs_idx[ln, :n][~keep]:
+            self.kf_line_track[kf, idx] = -1
+        m = keep.sum()
+        self.ln_obs_kf[ln, :m] = self.ln_obs_kf[ln, :n][keep]
+        self.ln_obs_idx[ln, :m] = self.ln_obs_idx[ln, :n][keep]
+        self.ln_obs_kf[ln, m:n] = -1
+        self.ln_obs_idx[ln, m:n] = -1
+        self.ln_obs_n[ln] = m
+        if m == 0:
+            self.ln_valid[ln] = False
 
     def add_line_obs(self, ln: int, kf: int, idx: int):
         n = self.ln_obs_n[ln]
@@ -354,6 +378,8 @@ class MapStore:
             lns=np.asarray(lns_sel, np.int64),
             p_pose=np.asarray(p_pose, np.int64),
             p_point=np.asarray(p_point, np.int64),
+            l_pose=np.asarray(l_pose, np.int64),
+            l_line=np.asarray(l_line, np.int64),
             ncp=ncp, ncl=ncl,
         )
         return problem, mapping
@@ -385,6 +411,12 @@ class MapStore:
                     if kf2 >= 0 and kf2 != kf:
                         self.decay_covisibility(kf, kf2)
                 self.remove_point_obs(pt, kf)
+            # line outliers likewise (RemoveLineOutliers, map.cc:736-757)
+            l_inl = np.asarray(result.l_inlier)[: mapping["ncl"]]
+            for c in np.nonzero(~l_inl)[0]:
+                ln = int(mapping["lns"][mapping["l_line"][c]])
+                kf = int(frames[mapping["l_pose"][c]])
+                self.remove_line_obs(ln, kf)
 
     # ------------------------------------------------------- map maintenance
     def update_mappoint_descriptors(self, pts: np.ndarray):
@@ -457,20 +489,40 @@ class MapStore:
         np.savez_compressed(path, **{
             k: v for k, v in self.__dict__.items()
             if isinstance(v, np.ndarray)
-        }, n_kf=self.n_kf, n_pt=self.n_pt, n_ln=self.n_ln, K=self.K, LN=self.LN)
+        }, n_kf=self.n_kf, n_pt=self.n_pt, n_ln=self.n_ln, K=self.K,
+            LN=self.LN,
+            capacities=np.asarray([
+                self.kf_valid.shape[0], self.pt_status.shape[0],
+                self.ln_valid.shape[0],
+            ]),
+            intrinsics=np.asarray([self._fx, self._fy, self._cx, self._cy]))
 
     @classmethod
     def load(cls, path: str, cfg: PipelineConfig | None = None):
+        """Restore a checkpoint. Capacities and intrinsics come from the
+        file, so maps saved under any config reload correctly."""
+        import dataclasses
+
         data = np.load(path)
+        cfg = cfg or PipelineConfig()
+        if "capacities" in data:
+            kf_cap, pt_cap, ln_cap = (int(x) for x in data["capacities"])
+            cfg = dataclasses.replace(
+                cfg, max_map_keyframes=kf_cap, max_map_points=pt_cap,
+                max_map_lines=ln_cap,
+            )
         self = cls(int(data["K"]), int(data["LN"]), cfg,
                    desc_dim=int(data["pt_desc"].shape[1]))
         for k in data.files:
-            if k in ("n_kf", "n_pt", "n_ln", "K", "LN"):
+            if k in ("n_kf", "n_pt", "n_ln", "K", "LN", "capacities",
+                     "intrinsics"):
                 continue
             getattr(self, k)[...] = data[k]
         self.n_kf = int(data["n_kf"])
         self.n_pt = int(data["n_pt"])
         self.n_ln = int(data["n_ln"])
+        if "intrinsics" in data:
+            self.set_intrinsics(*(float(x) for x in data["intrinsics"]))
         return self
 
     def save_map_text(self, dirpath: str):

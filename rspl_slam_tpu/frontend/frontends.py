@@ -211,36 +211,40 @@ class NeuralFrontend:
             meas=meas, depth=depth,
         )
         if self.use_lines:
-            from rspl_slam_tpu.ops import lines as lops
+            ff = self._attach_lines(ff, img_l, img_r, xyR, validR, i0, uR)
+        return ff
 
-            segs_l, segs_r = self._extract_lines(img_l, img_r)
-            LN = self.cfg.line_detector.max_lines
-            lines, line_valid = _pad_lines(segs_l, LN)
-            members = np.zeros((LN, len(xyL)), bool)
-            nl = int(line_valid.sum())
-            if nl:
-                members[:nl] = lops.assign_points_to_lines(
-                    lines[:nl], xyL, validL
-                )
-            # stereo line matching via gated stereo point matches
-            # (frame.cc:178-203)
-            lines_right = np.zeros((LN, 4), np.float32)
-            has_right = np.zeros(LN, bool)
-            if nl and len(segs_r):
-                members_r = lops.assign_points_to_lines(
-                    segs_r, xyR, validR
-                )
-                gated = np.where(uR >= 0, i0, -1)
-                lm = lops.match_lines(members[:nl], members_r, gated)
-                for li in range(nl):
-                    if lm[li] >= 0:
-                        lines_right[li] = segs_r[lm[li]]
-                        has_right[li] = True
-            ff.lines = lines
-            ff.line_valid = line_valid
-            ff.lines_right = lines_right
-            ff.line_has_right = has_right
-            ff.line_members = members
+    def _attach_lines(self, ff: FrameFeatures, img_l, img_r, xyR, validR,
+                      i0, uR) -> FrameFeatures:
+        """Detect + merge lines for both images, assign keypoints, and do
+        stereo line matching via gated stereo point matches
+        (frame.cc:178-203)."""
+        from rspl_slam_tpu.ops import lines as lops
+
+        segs_l, segs_r = self._extract_lines(img_l, img_r)
+        LN = self.cfg.line_detector.max_lines
+        lines, line_valid = _pad_lines(segs_l, LN)
+        members = np.zeros((LN, len(ff.xy)), bool)
+        nl = int(line_valid.sum())
+        if nl:
+            members[:nl] = lops.assign_points_to_lines(
+                lines[:nl], ff.xy, ff.valid
+            )
+        lines_right = np.zeros((LN, 4), np.float32)
+        has_right = np.zeros(LN, bool)
+        if nl and len(segs_r):
+            members_r = lops.assign_points_to_lines(segs_r, xyR, validR)
+            gated = np.where(uR >= 0, i0, -1)
+            lm = lops.match_lines(members[:nl], members_r, gated)
+            for li in range(nl):
+                if lm[li] >= 0:
+                    lines_right[li] = segs_r[lm[li]]
+                    has_right[li] = True
+        ff.lines = lines
+        ff.line_valid = line_valid
+        ff.lines_right = lines_right
+        ff.line_has_right = has_right
+        ff.line_members = members
         return ff
 
     def match(self, fA: FrameFeatures, fB: FrameFeatures) -> np.ndarray:
@@ -251,6 +255,58 @@ class NeuralFrontend:
             jnp.asarray(fB.xy)[None], jnp.asarray(fB.score)[None],
             jnp.asarray(fB.desc)[None], jnp.asarray(fB.valid)[None],
         )[0]
+
+    # ------------------------------------------------- multi-sequence batch
+    def extract_pairs_batched(self, pairs, frontends):
+        """Batched extraction for N sequences sharing these parameters:
+        ONE SuperPoint dispatch over all 2N images and ONE matcher dispatch
+        over the N stereo problems, then per-sequence association (and line
+        extraction, if enabled, per sequence). ``pairs``: list of
+        (img_l, img_r); ``frontends``: the per-sequence NeuralFrontends
+        (for their line state). Returns list[FrameFeatures]."""
+        N = len(pairs)
+        imgs = jnp.asarray(np.stack([im for p in pairs for im in p]))  # (2N,...)
+        feats = superpoint.extract(
+            self.sp_params, imgs, self.cfg.superpoint, self.compute_dtype
+        )
+        left = slice(0, 2 * N, 2)
+        right = slice(1, 2 * N, 2)
+        i0_all = self._match_indices(
+            feats.xy[left], feats.score[left], feats.desc[left], feats.valid[left],
+            feats.xy[right], feats.score[right], feats.desc[right], feats.valid[right],
+        )  # (N, K)
+        out = []
+        xy = np.asarray(feats.xy)
+        sc = np.asarray(feats.score)
+        de = np.asarray(feats.desc)
+        va = np.asarray(feats.valid)
+        for s in range(N):
+            li, ri = 2 * s, 2 * s + 1
+            uR, depth = _stereo_associate(
+                self.cfg, xy[li], xy[ri], va[li], va[ri], i0_all[s]
+            )
+            ff = FrameFeatures(
+                xy=xy[li], score=sc[li], desc=de[li], valid=va[li],
+                meas=np.concatenate([xy[li], uR[:, None]], -1), depth=depth,
+            )
+            fe = frontends[s]
+            if getattr(fe, "use_lines", False):
+                # line extraction stays per-sequence (RCF + host merge)
+                ff = fe._attach_lines(ff, pairs[s][0], pairs[s][1],
+                                      xy[ri], va[ri], i0_all[s], uR)
+            out.append(ff)
+        return out
+
+    def match_batched(self, pairs):
+        """Batched temporal matching of N (fA, fB) feature pairs in one
+        dispatch. Returns list of indices0 arrays."""
+        fa, fb = zip(*pairs)
+        st = lambda fs, a: jnp.asarray(np.stack([getattr(f, a) for f in fs]))
+        i0 = self._match_indices(
+            st(fa, "xy"), st(fa, "score"), st(fa, "desc"), st(fa, "valid"),
+            st(fb, "xy"), st(fb, "score"), st(fb, "desc"), st(fb, "valid"),
+        )
+        return [i0[k] for k in range(len(pairs))]
 
 
 class OracleFrontend:

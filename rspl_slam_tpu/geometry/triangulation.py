@@ -94,7 +94,10 @@ def fit_line3d_to_points(
     counts = jnp.sum(inl, -1) * pair_ok  # (P, P)
     best = jnp.argmax(counts.reshape(-1))
     bi, bj = best // P, best % P
-    consensus = inl[bi, bj] & mask
+    # no well-separated pair at all (all counts zero) → argmax returns
+    # (0, 0) whose "line" is degenerate; reject the fit outright
+    have_pair = counts.reshape(-1)[best] > 0
+    consensus = inl[bi, bj] & mask & have_pair
     n_inl = jnp.sum(consensus)
 
     # PCA refinement on the consensus set

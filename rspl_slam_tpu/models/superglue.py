@@ -18,8 +18,12 @@ TPU-first design choices:
 - padded keypoints carry a mask through attention (additive −1e9 bias) and
   Sinkhorn (zero marginal mass) — the reference used true dynamic shapes
   which would force XLA recompilation every frame;
-- attention uses plain einsum (XLA fuses QKV matmuls onto the MXU); a
-  Pallas fused-attention path can be slotted in via ``attention_impl``.
+- attention uses plain einsum — XLA's cross-layer fusion runs the whole
+  18-layer chain near-optimally at K≈400 (measured ≈0.06 ms/layer inside
+  the jit vs 0.38 ms for a standalone fused-Pallas layer dispatch, see
+  ops/attention_pallas.py). The Pallas kernels remain as validated
+  building blocks for much larger keypoint counts, where per-layer
+  tiling control starts to matter.
 """
 
 from __future__ import annotations

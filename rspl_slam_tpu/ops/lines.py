@@ -311,13 +311,12 @@ def match_lines(membership0: np.ndarray, membership1: np.ndarray,
     out = np.full(L0, -1, np.int64)
     if L0 == 0 or L1 == 0:
         return out
-    K0 = membership0.shape[1]
-    # permutation matrix (K0, K1) of point matches
-    votes = np.zeros((L0, L1), np.int64)
+    # votes[l0, l1] = #matched keypoints on both lines — one boolean matmul
     matched = np.nonzero(point_matches >= 0)[0]
-    for k0 in matched:
-        k1 = point_matches[k0]
-        votes += np.outer(membership0[:, k0], membership1[:, k1]).astype(np.int64)
+    votes = (
+        membership0[:, matched].astype(np.int64)
+        @ membership1[:, point_matches[matched]].astype(np.int64).T
+    )
     n0 = membership0.sum(1)
     n1 = membership1.sum(1)
     row_argmax = votes.argmax(1)

@@ -6,12 +6,13 @@ sharded over hosts, distributed Schur BA") at the single-host level: the
 reference could only ever process one sequence per process; here N maps
 advance in lockstep and every device stage is one batched call:
 
-- extraction: all 2N stereo images in ONE SuperPoint dispatch;
-- matching: the N stereo pairs + N temporal pairs in ONE SuperGlue
-  dispatch (B=2N), sharded over the mesh's ``data`` axis;
+- extraction: all 2N stereo images in ONE SuperPoint dispatch and the N
+  stereo matching problems in one matcher dispatch (neural frontends with
+  shared parameters; oracle frontends are host work and loop);
+- temporal matching: the N frame↔keyframe problems in one dispatch;
 - bundle adjustment: windows from sequences that inserted a keyframe this
   step are stacked and solved by ``batched_windows_ba`` (vmapped +
-  sharded) in one dispatch.
+  sharded over the mesh's ``data`` axis) in one dispatch.
 
 Host-side tracking/map bookkeeping stays per-sequence (cheap numpy).
 Across hosts, run one MultiSequenceSLAM per host on its own sequence shard
@@ -53,24 +54,47 @@ class MultiSequenceSLAM:
         """``frames``: list of (index, t, img_l, img_r) per sequence (None
         to skip a finished sequence). Returns per-sequence FrameRecords
         (None for skipped)."""
-        # stage 1: extraction + stereo association (batched inside the
-        # frontends when they share parameters; the oracle frontend is
-        # per-sequence host work)
-        feats = []
-        for s, fr in zip(self.slams, frames):
-            if fr is None:
-                feats.append(None)
-                continue
-            index, t, il, ir = fr
-            feats.append(s.frontend.extract_pair(il, ir))
+        # stage 1: extraction + stereo association. Neural frontends with
+        # shared parameters take the batched path: ONE SuperPoint dispatch
+        # over all 2N images + ONE stereo-matcher dispatch over N problems
+        # (extract_pairs_batched). Oracle/other frontends fall back to the
+        # per-sequence loop (their extraction is host work anyway).
+        active = [k for k, fr in enumerate(frames) if fr is not None]
+        feats: list = [None] * self.n
+        fes = [self.slams[k].frontend for k in active]
+        can_batch = (
+            len(active) > 1
+            and all(hasattr(f, "extract_pairs_batched") for f in fes)
+            and all(f.sp_params is fes[0].sp_params for f in fes)
+        )
+        if can_batch:
+            pairs = [(frames[k][2], frames[k][3]) for k in active]
+            batched = fes[0].extract_pairs_batched(pairs, fes)
+            for k, f in zip(active, batched):
+                feats[k] = f
+        else:
+            for k in active:
+                _, _, il, ir = frames[k]
+                feats[k] = self.slams[k].frontend.extract_pair(il, ir)
 
-        # stage 2: temporal matching — one batched call over sequences that
-        # are initialized (their ref features exist)
+        # stage 2: temporal matching — batched over initialized sequences
+        # when the frontend supports it
         i0s = [None] * self.n
-        for k, (s, f) in enumerate(zip(self.slams, feats)):
-            if f is None or not s.initialized:
-                continue
-            i0s[k] = s.frontend.match(f, s._ref_feats)
+        match_idx = [
+            k for k in active
+            if self.slams[k].initialized and feats[k] is not None
+        ]
+        if can_batch and len(match_idx) > 1 and hasattr(fes[0], "match_batched"):
+            pairs = [
+                (feats[k], self.slams[k]._ref_feats) for k in match_idx
+            ]
+            for k, i0 in zip(match_idx, fes[0].match_batched(pairs)):
+                i0s[k] = i0
+        else:
+            for k in match_idx:
+                i0s[k] = self.slams[k].frontend.match(
+                    feats[k], self.slams[k]._ref_feats
+                )
 
         # stage 3: per-sequence tracking + keyframe insertion (host)
         records = []

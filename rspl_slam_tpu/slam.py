@@ -144,6 +144,8 @@ class SLAMSystem:
             line_points=_members_to_lists(feats.line_members) if has_lines else None,
         )
         Rwc, twc = Twc[:3, :3], Twc[:3, 3]
+        # all gates were checked up front (≥150 kpts, ≥100 stereo) so map
+        # mutation below cannot need rolling back
         created = 0
         for i in np.nonzero(stereo_ok)[0]:
             d = feats.depth[i]
@@ -156,13 +158,6 @@ class SLAMSystem:
             pt = self.map.new_mappoint(pw, feats.desc[i])
             self.map.add_point_obs(pt, kf, int(i))
             created += 1
-        if created < 100:
-            # roll back: cheap because nothing else references the slots
-            self.map.n_kf = 0
-            self.map.n_pt = 0
-            self.map.kf_valid[:] = False
-            self.map.pt_status[:] = 0
-            return FrameRecord(index, t, INIT_POSE.copy())
         if has_lines:
             self._process_keyframe_lines(kf, feats, np.full(len(feats.xy), -1))
         self.initialized = True
@@ -181,11 +176,17 @@ class SLAMSystem:
         num_match = int((i0 >= 0).sum())
 
         # fallback: weak association with the ref keyframe → promote the
-        # previous frame to keyframe and re-anchor (map_builder.cc:218-236)
+        # previous frame to keyframe and re-anchor. Guarded like the
+        # reference's `_num_since_last_keyframe < 1` check
+        # (map_builder.cc:218-236): never re-insert a frame that already IS
+        # the reference keyframe (self-matching would duplicate every
+        # landmark).
         if (
             num_match < self.cfg.keyframe.min_num_match
             and self._last_feats is not None
             and self._last_track_ok
+            and self._last_frame_meta is not None
+            and self._last_frame_meta[0] != int(self.map.kf_frame_id[self._ref_kf])
         ):
             self._promote_last_frame_to_keyframe()
             i0 = self.frontend.match(feats, self._ref_feats)
@@ -199,7 +200,10 @@ class SLAMSystem:
         self._last_Twc = Twc
 
         rec = FrameRecord(index, t, Twc, num_inliers=n_inl)
-        if track_ok and self._should_add_keyframe(Twc, index, num_match):
+        # keyframe trigger uses the POST-optimization inlier count, exactly
+        # like the reference feeding TrackFrame's return into AddKeyframe
+        # (map_builder.cc:233,616-636)
+        if track_ok and self._should_add_keyframe(Twc, index, n_inl):
             kf = self._insert_keyframe(index, t, Twc, feats, i0, inlier_row)
             rec.is_keyframe = True
             rec.kf_slot = kf

@@ -48,6 +48,37 @@ class TestMultiSequence:
             assert res["rmse"] < 0.01, (s, res)
             assert slam.map.n_kf >= 2  # keyframes + batched BA ran
 
+    def test_batched_neural_extraction_matches_serial(self):
+        """extract_pairs_batched must produce the same features/matches as
+        per-sequence extract_pair calls."""
+        import jax
+
+        from rspl_slam_tpu.config import CameraConfig
+        from rspl_slam_tpu.frontend.frontends import NeuralFrontend
+
+        cam = CameraConfig(image_width=96, image_height=64, fx=80.0, fy=80.0,
+                           cx=48.0, cy=32.0, bf=8.0)
+        cfg = SystemConfig(
+            superpoint=SuperPointConfig(max_keypoints=64,
+                                        keypoint_threshold=1e-4),
+            camera=cam, use_lines=False,
+        )
+        fe0 = NeuralFrontend(cfg, matcher="cosine", seed=0)
+        fe1 = NeuralFrontend(cfg, sp_params=fe0.sp_params,
+                             sg_params=fe0.sg_params, matcher="cosine")
+        rng = np.random.default_rng(0)
+        pairs = [
+            (rng.uniform(size=(64, 96)).astype(np.float32),
+             rng.uniform(size=(64, 96)).astype(np.float32))
+            for _ in range(2)
+        ]
+        batched = fe0.extract_pairs_batched(pairs, [fe0, fe1])
+        for s in range(2):
+            serial = fe0.extract_pair(*pairs[s])
+            np.testing.assert_allclose(batched[s].xy, serial.xy, atol=1e-4)
+            np.testing.assert_allclose(batched[s].meas, serial.meas, atol=1e-4)
+            assert (batched[s].valid == serial.valid).all()
+
     def test_sequences_of_different_length(self):
         cfg, fes, trajs = build_world(2, 20)
         msq = MultiSequenceSLAM(cfg, fes)
