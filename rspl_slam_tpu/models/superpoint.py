@@ -101,22 +101,41 @@ def _pool2(x):
     )
 
 
-def dense_heads(params: dict, images: jnp.ndarray, compute_dtype=jnp.bfloat16):
+def dense_heads(
+    params: dict,
+    images: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+    use_pallas_stem: bool | None = None,
+):
     """images (B, H, W) in [0,1] → (scores (B, H, W), desc (B, C, H/8, W/8)).
 
     The dense forward pass: encoder + both heads + softmax/pixel-shuffle for
     scores and L2 normalization for descriptors, all matching
     convert2onnx/superpoint.py:116-167. H, W must be multiples of 8.
+
+    ``use_pallas_stem`` routes conv1a..conv2b (+ both pools) through the
+    fused Pallas row-matmul kernel (ops/conv_stem_pallas.py; 1.53× over
+    XLA's conv emitter on v5e). Default: on when running on TPU with bf16
+    compute, off elsewhere (the kernel is inference-only — no VJP).
     """
     B, H, W = images.shape
-    x = images[..., None]  # NHWC
     relu = jax.nn.relu
-    x = relu(_conv(x, params["conv1a"], compute_dtype))
-    x = relu(_conv(x, params["conv1b"], compute_dtype))
-    x = _pool2(x)
-    x = relu(_conv(x, params["conv2a"], compute_dtype))
-    x = relu(_conv(x, params["conv2b"], compute_dtype))
-    x = _pool2(x)
+    if use_pallas_stem is None:
+        use_pallas_stem = compute_dtype == jnp.bfloat16 and jax.default_backend() not in (
+            "cpu", "gpu", "cuda", "rocm",
+        )
+    if use_pallas_stem:
+        from rspl_slam_tpu.ops.conv_stem_pallas import superpoint_stem
+
+        x = superpoint_stem(params, images)  # (B, H/4, W/4, 64) bf16 NHWC
+    else:
+        x = images[..., None]  # NHWC
+        x = relu(_conv(x, params["conv1a"], compute_dtype))
+        x = relu(_conv(x, params["conv1b"], compute_dtype))
+        x = _pool2(x)
+        x = relu(_conv(x, params["conv2a"], compute_dtype))
+        x = relu(_conv(x, params["conv2b"], compute_dtype))
+        x = _pool2(x)
     x = relu(_conv(x, params["conv3a"], compute_dtype))
     x = relu(_conv(x, params["conv3b"], compute_dtype))
     x = _pool2(x)

@@ -7,9 +7,10 @@ import numpy as np
 import pytest
 
 from rspl_slam_tpu.config import SuperGlueConfig
-from rspl_slam_tpu.models import superglue
+from rspl_slam_tpu.models import superglue, superpoint
 from rspl_slam_tpu.models.superglue import _apply_mlp, _attention
 from rspl_slam_tpu.ops.attention_pallas import attention_layer_fused
+from rspl_slam_tpu.ops.conv_stem_pallas import superpoint_stem
 from rspl_slam_tpu.ops.sinkhorn import log_optimal_transport_masked
 from rspl_slam_tpu.ops.sinkhorn_pallas import log_optimal_transport_masked_pallas
 
@@ -52,3 +53,32 @@ class TestPallasAttention:
         out = attention_layer_fused(x, src, mask, layer, interpret=True)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                    atol=2e-4, rtol=1e-4)
+
+
+class TestPallasConvStem:
+    @pytest.mark.parametrize("H,W", [(32, 64), (40, 64)])  # 40 → half-res 20
+    def test_matches_xla_stem(self, H, W):
+        """Fused stem ≡ conv1a..conv2b + both pools of dense_heads (bf16).
+
+        H=40 exercises the row-padding path (half-res 20 is not a multiple
+        of the 16-row tile) used by OIVIO's 720-row images."""
+        params = superpoint.init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.random((2, H, W)).astype(np.float32))
+
+        from rspl_slam_tpu.models.superpoint import _conv, _pool2
+
+        relu = jax.nn.relu
+        x = imgs[..., None]
+        x = relu(_conv(x, params["conv1a"], jnp.bfloat16))
+        x = relu(_conv(x, params["conv1b"], jnp.bfloat16))
+        x = _pool2(x)
+        x = relu(_conv(x, params["conv2a"], jnp.bfloat16))
+        x = relu(_conv(x, params["conv2b"], jnp.bfloat16))
+        ref = np.asarray(_pool2(x), np.float32)
+
+        out = np.asarray(superpoint_stem(params, imgs, interpret=True),
+                         np.float32)
+        assert out.shape == ref.shape
+        rel = np.abs(ref - out) / (np.abs(ref) + 1e-3)
+        assert rel.max() < 0.05, rel.max()
