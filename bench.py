@@ -16,6 +16,12 @@ import time
 import numpy as np
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
 
@@ -60,8 +66,12 @@ def main():
         res = superglue.match_pair(
             sg_params, q_xy, q_sc, q_d, q_v, t_xy, t_sc, t_d, t_v, sg_cfg
         )
-        out = pose_solver.optimize_pose(Ki, Twc0, Xw, meas, stereo, valid)
-        return res.indices0, out.Tcw
+        # thread a scalar from the matcher into the pose solve so no stage
+        # is dead code under the scan (XLA prunes unused carry chains)
+        meas_live = meas + res.mscores0[0, 0] * 1e-12
+        out = pose_solver.optimize_pose(Ki, Twc0, Xw, meas_live, stereo, valid)
+        live = (jnp.sum(feats.xy) + jnp.sum(res.mscores0)) * 1e-12
+        return res.indices0, out.Tcw, live
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(size=(2, H, W)).astype(np.float32))
@@ -82,33 +92,42 @@ def main():
     valid = jnp.ones(NC, bool)
 
     # Timing methodology: per-call wall clock over this environment's
-    # tunneled device is dominated by dispatch RTT, and block_until_ready
-    # does not reliably synchronize — so we chain ITERS dependent frame
-    # steps inside ONE jit (each step's inputs are perturbed by the
-    # previous step's outputs, so nothing can be elided or overlapped away)
-    # and materialize a single scalar at the end. total/ITERS is then an
-    # upper bound on true per-frame device time.
-    ITERS = 30
+    # tunneled device is dominated by dispatch RTT (~25 ms/call), and
+    # block_until_ready does not reliably synchronize — so we chain ITERS
+    # dependent frame steps inside ONE jit and materialize one scalar that
+    # every stage feeds (extract → match → pose; see `live` above —
+    # otherwise XLA prunes unused carry chains out of the scan and the
+    # "benchmark" times a fraction of the pipeline). The per-call dispatch
+    # floor is measured with a no-op jit and subtracted.
+    ITERS = 100
 
     @jax.jit
     def chained(images, meas):
         def body(carry, _):
             im, ms = carry
-            idx, Tcw = frame_step(
+            idx, Tcw, live = frame_step(
                 im, ref_xy, ref_score, ref_desc, ref_valid,
                 Twc0, Xw, ms, stereo, valid,
             )
-            im2 = im + idx[0, 0].astype(jnp.float32) * 1e-9
-            ms2 = ms + Tcw[0, 3] * 1e-9
-            return (im2, ms2), Tcw[0, 3]
+            im2 = im + (idx[0, 0].astype(jnp.float32) + live) * 1e-9
+            ms2 = ms + (Tcw[0, 3] + live) * 1e-9
+            return (im2, ms2), Tcw[0, 3] + live
 
         _, ts = jax.lax.scan(body, (images, meas), None, length=ITERS)
         return ts.sum()
 
+    @jax.jit
+    def noop(x):
+        return x + 1.0
+
+    float(noop(jnp.zeros(())))
+    rtt = min(
+        _timed(lambda: float(noop(jnp.zeros(())))) for _ in range(5)
+    )
+
     float(chained(images, meas))  # compile + warm
-    t0 = time.perf_counter()
-    float(chained(images, meas))
-    dt_track = (time.perf_counter() - t0) / ITERS
+    wall = min(_timed(lambda: float(chained(images, meas))) for _ in range(3))
+    dt_track = max(wall - rtt, 0.0) / ITERS
 
     # ---- amortized local BA (runs once per keyframe ≈ every 10th frame;
     # the metric is frames/s for tracking + BA) -------------------------
@@ -141,7 +160,7 @@ def main():
         l_eps=jnp.zeros((8, 2, 2)), l_eps_r=jnp.zeros((8, 2, 2)),
         l_stereo=jnp.zeros(8, bool), l_valid=jnp.zeros(8, bool),
     )
-    BA_REPS = 3  # one BA per ~10 tracked frames
+    BA_REPS = 10  # one BA per ~10 tracked frames
 
     @jax.jit
     def chained_ba(p):
@@ -154,9 +173,8 @@ def main():
         return costs.sum()
 
     float(chained_ba(prob))  # compile + warm
-    t0 = time.perf_counter()
-    float(chained_ba(prob))
-    dt_ba_amortized = (time.perf_counter() - t0) / BA_REPS / 10.0
+    wall_ba = min(_timed(lambda: float(chained_ba(prob))) for _ in range(3))
+    dt_ba_amortized = max(wall_ba - rtt, 0.0) / BA_REPS / 10.0
 
     fps = 1.0 / (dt_track + dt_ba_amortized)
 
