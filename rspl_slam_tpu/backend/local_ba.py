@@ -82,6 +82,20 @@ class BAResult(NamedTuple):
 _LINE_INFO = 0.1  # line information scale (g2o_optimization.cc:138, 162)
 
 
+def _onehot_sum(idx, num_segments, terms):
+    """segment_sum as a one-hot MXU matmul — TPU scatters serialize, while
+    einsum("cs,c...->s...") is one batched contraction on the systolic array
+    (measured: the scatter path dominated the whole BA step)."""
+    oh = jax.nn.one_hot(idx, num_segments, dtype=terms.dtype)  # (C, S)
+    C = terms.shape[0]
+    flat = terms.reshape(C, -1)
+    out = jax.lax.dot_general(
+        oh, flat, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (S, prod(rest))
+    return out.reshape((num_segments,) + terms.shape[1:])
+
+
 def _point_terms(K, Tcw_all, points, prob: BAProblem):
     """Residuals + Jacobians for every point constraint.
 
@@ -155,40 +169,35 @@ def _build_and_solve(K, Tcw, points, lines, prob, p_active, l_active,
     JpW_p = Jp_p * wp[:, None, None]
     Hpp_terms = jnp.einsum("cij,cik->cjk", JpW_p, Jp_p)
     gp_terms = jnp.einsum("cij,ci->cj", JpW_p, rp)
-    Hpp = jax.ops.segment_sum(Hpp_terms, prob.p_pose, num_segments=F)
-    gp = jax.ops.segment_sum(gp_terms, prob.p_pose, num_segments=F)
+    Hpp = _onehot_sum(prob.p_pose, F, Hpp_terms)
+    gp = _onehot_sum(prob.p_pose, F, gp_terms)
     JpW_l = Jp_l * wl[:, None, None]
-    Hpp = Hpp + jax.ops.segment_sum(
-        jnp.einsum("cij,cik->cjk", JpW_l, Jp_l), prob.l_pose, num_segments=F
+    Hpp = Hpp + _onehot_sum(
+        prob.l_pose, F, jnp.einsum("cij,cik->cjk", JpW_l, Jp_l)
     )
-    gp = gp + jax.ops.segment_sum(
-        jnp.einsum("cij,ci->cj", JpW_l, rl), prob.l_pose, num_segments=F
-    )
+    gp = gp + _onehot_sum(prob.l_pose, F, jnp.einsum("cij,ci->cj", JpW_l, rl))
 
     # landmark-diagonal: Hxx (P,3,3), gx (P,3); Hll (L,4,4), gl (L,4)
     JxW = Jx * wp[:, None, None]
-    Hxx = jax.ops.segment_sum(
-        jnp.einsum("cij,cik->cjk", JxW, Jx), prob.p_point, num_segments=P
-    )
-    gx = jax.ops.segment_sum(
-        jnp.einsum("cij,ci->cj", JxW, rp), prob.p_point, num_segments=P
-    )
+    Hxx = _onehot_sum(prob.p_point, P, jnp.einsum("cij,cik->cjk", JxW, Jx))
+    gx = _onehot_sum(prob.p_point, P, jnp.einsum("cij,ci->cj", JxW, rp))
     JlW = Jl * wl[:, None, None]
-    Hll = jax.ops.segment_sum(
-        jnp.einsum("cij,cik->cjk", JlW, Jl), prob.l_line, num_segments=L
-    )
-    gl = jax.ops.segment_sum(
-        jnp.einsum("cij,ci->cj", JlW, rl), prob.l_line, num_segments=L
-    )
+    Hll = _onehot_sum(prob.l_line, L, jnp.einsum("cij,cik->cjk", JlW, Jl))
+    gl = _onehot_sum(prob.l_line, L, jnp.einsum("cij,ci->cj", JlW, rl))
 
-    # cross terms: W tensor (landmark, pose, 6, dl) scatter-added by the
-    # combined (landmark, pose) index — dense per window, contracted on MXU
+    # cross terms: W tensor (landmark, pose, 6, dl) — expand the pose index
+    # with a one-hot broadcast (F is small), then contract the constraint
+    # axis against the landmark one-hot on the MXU
     Wx_terms = jnp.einsum("cij,cik->cjk", JpW_p, Jx)  # (Cp, 6, 3)
-    comb_p = prob.p_point * F + prob.p_pose
-    Wx = jax.ops.segment_sum(Wx_terms, comb_p, num_segments=P * F).reshape(P, F, 6, 3)
+    oh_pose_p = jax.nn.one_hot(prob.p_pose, F, dtype=dtype)  # (Cp, F)
+    Wx = _onehot_sum(
+        prob.p_point, P, Wx_terms[:, None] * oh_pose_p[:, :, None, None]
+    )  # (P, F, 6, 3)
     Wl_terms = jnp.einsum("cij,cik->cjk", JpW_l, Jl)  # (Cl, 6, 4)
-    comb_l = prob.l_line * F + prob.l_pose
-    Wl = jax.ops.segment_sum(Wl_terms, comb_l, num_segments=L * F).reshape(L, F, 6, 4)
+    oh_pose_l = jax.nn.one_hot(prob.l_pose, F, dtype=dtype)
+    Wl = _onehot_sum(
+        prob.l_line, L, Wl_terms[:, None] * oh_pose_l[:, :, None, None]
+    )  # (L, F, 6, 4)
 
     # --- damp landmark blocks and invert (batched 3×3 / 4×4) ---------------
     Hxx_d = Hxx + (lam * jnp.diagonal(Hxx, axis1=-2, axis2=-1))[..., :, None] * jnp.eye(3, dtype=dtype) + 1e-8 * jnp.eye(3, dtype=dtype)
@@ -269,17 +278,21 @@ def _total_cost(K, Tcw, points, lines, prob, p_active, l_active, deltas, use_hub
 
 
 def _lm_phase(K, state, prob, p_active, l_active, deltas, use_huber, iters):
+    Tcw0, points0, lines0, lam0 = state
+    # cost of the incoming state, carried across iterations so each LM step
+    # evaluates the objective only ONCE (at the candidate state)
+    cost0, *_ = _total_cost(
+        K, Tcw0, points0, lines0, prob, p_active, l_active, deltas, use_huber
+    )
+
     def body(carry, _):
-        Tcw, points, lines, lam = carry
+        Tcw, points, lines, lam, cost_old = carry
         dp, dx, dl, _ = _build_and_solve(
             K, Tcw, points, lines, prob, p_active, l_active, use_huber, deltas, lam
         )
         Tcw_new = jax.vmap(lambda d, T: se3.exp_se3(d) @ T)(dp, Tcw)
         points_new = points + dx
         lines_new = jax.vmap(plucker.orthonormal_update)(lines, dl)
-        cost_old, *_ = _total_cost(
-            K, Tcw, points, lines, prob, p_active, l_active, deltas, use_huber
-        )
         cost_new, *_ = _total_cost(
             K, Tcw_new, points_new, lines_new, prob, p_active, l_active, deltas, use_huber
         )
@@ -287,10 +300,13 @@ def _lm_phase(K, state, prob, p_active, l_active, deltas, use_huber, iters):
         Tcw = jnp.where(accept, Tcw_new, Tcw)
         points = jnp.where(accept, points_new, points)
         lines = jnp.where(accept, lines_new, lines)
+        cost = jnp.where(accept, cost_new, cost_old)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e8)
-        return (Tcw, points, lines, lam), None
+        return (Tcw, points, lines, lam, cost), None
 
-    (Tcw, points, lines, _), _ = jax.lax.scan(body, state, None, length=iters)
+    (Tcw, points, lines, _, _), _ = jax.lax.scan(
+        body, (Tcw0, points0, lines0, lam0, cost0), None, length=iters
+    )
     return Tcw, points, lines
 
 

@@ -64,8 +64,9 @@ def _lm_rounds(
         return jnp.sum(r * r, -1), r, z
 
     def lm_iteration(carry, _, use_huber, active):
-        Tcw, lam = carry
-        chi2, r, z = constraint_chi2(Tcw)
+        # residuals of the CURRENT (accepted) state ride in the carry, so
+        # each iteration evaluates the objective only once — at the candidate
+        Tcw, lam, chi2, r, z = carry
         w = jnp.where(use_huber, res.huber_weight(chi2, delta), 1.0)
         w = jnp.where(active & (z > 1e-6), w, 0.0)
         J = res.point_pose_jacobian(K, Tcw, Xw, is_stereo)  # (N, 3, 6)
@@ -79,7 +80,7 @@ def _lm_rounds(
         Tcw_new = se3.exp_se3(step) @ Tcw
         # accept if total weighted chi2 decreased
         cost_old = jnp.sum(jnp.where(w > 0, chi2, 0.0) * jnp.minimum(w, 1.0))
-        chi2_new, _, zn = constraint_chi2(Tcw_new)
+        chi2_new, r_new, zn = constraint_chi2(Tcw_new)
         w_new = jnp.where(use_huber, res.huber_weight(chi2_new, delta), 1.0)
         w_new = jnp.where(active & (zn > 1e-6), w_new, 0.0)
         cost_new = jnp.sum(
@@ -87,9 +88,14 @@ def _lm_rounds(
         )
         accept = cost_new < cost_old
         Tcw = jnp.where(accept, Tcw_new, Tcw)
+        chi2 = jnp.where(accept, chi2_new, chi2)
+        r = jnp.where(accept, r_new, r)
+        z = jnp.where(accept, zn, z)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-10, 1e6)
-        return (Tcw, lam), None
+        return (Tcw, lam, chi2, r, z), None
+
+    chi2_0, r_0, z_0 = constraint_chi2(Tcw0)
 
     def round_body(carry, round_idx):
         _, inlier = carry
@@ -97,10 +103,10 @@ def _lm_rounds(
         active = inlier & valid
 
         body = partial(lm_iteration, use_huber=use_huber, active=active)
-        (Tcw, _), _ = jax.lax.scan(
-            body, (Tcw0, jnp.asarray(1e-4, dtype)), None, length=iters
+        (Tcw, _, chi2, _, z), _ = jax.lax.scan(
+            body, (Tcw0, jnp.asarray(1e-4, dtype), chi2_0, r_0, z_0),
+            None, length=iters,
         )
-        chi2, _, z = constraint_chi2(Tcw)
         inlier = (chi2 <= thr) & (z > 1e-6) & valid
         return (Tcw, inlier), None
 
