@@ -92,6 +92,9 @@ def _onehot_sum(idx, num_segments, terms):
     out = jax.lax.dot_general(
         oh, flat, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # HIGHEST keeps the f32 `terms` operand un-truncated on TPU (the
+        # one-hot operand is exact either way); matches segment_sum accuracy
+        precision=jax.lax.Precision.HIGHEST,
     )  # (S, prod(rest))
     return out.reshape((num_segments,) + terms.shape[1:])
 

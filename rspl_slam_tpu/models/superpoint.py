@@ -121,8 +121,9 @@ def dense_heads(
     B, H, W = images.shape
     relu = jax.nn.relu
     if use_pallas_stem is None:
-        use_pallas_stem = compute_dtype == jnp.bfloat16 and jax.default_backend() not in (
-            "cpu", "gpu", "cuda", "rocm",
+        # allowlist: the kernel is Mosaic/TPU-only and has no VJP
+        use_pallas_stem = (
+            compute_dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
         )
     if use_pallas_stem:
         from rspl_slam_tpu.ops.conv_stem_pallas import superpoint_stem

@@ -82,3 +82,30 @@ class TestPallasConvStem:
         assert out.shape == ref.shape
         rel = np.abs(ref - out) / (np.abs(ref) + 1e-3)
         assert rel.max() < 0.05, rel.max()
+
+    @pytest.mark.skipif(jax.default_backend() != "tpu",
+                        reason="needs real TPU (Mosaic lowering)")
+    def test_matches_xla_stem_hardware(self):
+        """Compiled-kernel parity on real hardware: exercises the Mosaic
+        pieces the interpreter cannot (pltpu.roll 32-bit round-trip, halo
+        DMA, VMEM block specs)."""
+        params = superpoint.init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.random((2, 64, 96)).astype(np.float32))
+
+        from rspl_slam_tpu.models.superpoint import _conv, _pool2
+
+        relu = jax.nn.relu
+        x = imgs[..., None]
+        x = relu(_conv(x, params["conv1a"], jnp.bfloat16))
+        x = relu(_conv(x, params["conv1b"], jnp.bfloat16))
+        x = _pool2(x)
+        x = relu(_conv(x, params["conv2a"], jnp.bfloat16))
+        x = relu(_conv(x, params["conv2b"], jnp.bfloat16))
+        ref = np.asarray(_pool2(x), np.float32)
+
+        out = np.asarray(superpoint_stem(params, imgs, interpret=False),
+                         np.float32)
+        assert out.shape == ref.shape
+        rel = np.abs(ref - out) / (np.abs(ref) + 1e-3)
+        assert rel.max() < 0.05, rel.max()
