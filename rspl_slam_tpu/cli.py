@@ -208,10 +208,8 @@ def cmd_pretrain(args):
 
 
 def cmd_convert_weights(args):
-    import jax
-    import jax.numpy as jnp
-
     from rspl_slam_tpu.models import rcf, superglue, superpoint
+    from rspl_slam_tpu.models.weights import save_npz_pytree
 
     loaders = {
         "superpoint": superpoint.load_torch_weights,
@@ -219,21 +217,8 @@ def cmd_convert_weights(args):
         "rcf": rcf.load_torch_weights,
     }
     params = loaders[args.model](args.input)
-    flat = {}
-
-    def flatten(prefix, obj):
-        if isinstance(obj, dict):
-            for k, v in obj.items():
-                flatten(f"{prefix}/{k}" if prefix else k, v)
-        elif isinstance(obj, (list, tuple)):
-            for i, v in enumerate(obj):
-                flatten(f"{prefix}/{i}", v)
-        else:
-            flat[prefix] = np.asarray(obj)
-
-    flatten("", params)
-    np.savez_compressed(args.output, **flat)
-    print(f"{args.model}: {len(flat)} arrays → {args.output}")
+    n = save_npz_pytree(args.output, params)
+    print(f"{args.model}: {n} arrays → {args.output}")
 
 
 def main(argv=None):

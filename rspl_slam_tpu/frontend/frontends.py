@@ -123,14 +123,19 @@ class NeuralFrontend:
         self.matcher = matcher
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
+        from rspl_slam_tpu.models.weights import load_weights
+
         if sp_params is None:
             if cfg.superpoint.weights_path:
-                sp_params = superpoint.load_torch_weights(cfg.superpoint.weights_path)
+                sp_params = load_weights(cfg.superpoint.weights_path,
+                                         superpoint.load_torch_weights)
             else:
                 sp_params = superpoint.init_params(k1)
         if sg_params is None:
             if cfg.superglue.weights_path:
-                sg_params = superglue.load_torch_weights(cfg.superglue.weights_path, cfg.superglue)
+                sg_params = load_weights(cfg.superglue.weights_path,
+                                         superglue.load_torch_weights,
+                                         cfg.superglue)
             else:
                 sg_params = superglue.init_params(k2, cfg.superglue)
         self.sp_params = sp_params
@@ -141,8 +146,9 @@ class NeuralFrontend:
 
             if rcf_params is None:
                 if cfg.line_detector.rcf_weights_path:
-                    rcf_params = rcf.load_torch_weights(
-                        cfg.line_detector.rcf_weights_path
+                    rcf_params = load_weights(
+                        cfg.line_detector.rcf_weights_path,
+                        rcf.load_torch_weights,
                     )
                 else:
                     rcf_params = rcf.init_params(jax.random.PRNGKey(seed + 1))

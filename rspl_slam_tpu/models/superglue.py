@@ -108,6 +108,24 @@ def load_torch_weights(path: str, cfg: SuperGlueConfig | None = None) -> dict:
         w = w.reshape(w.shape[0], w.shape[1])
         return {"w": jnp.asarray(w.T), "b": jnp.asarray(sd[f"{prefix}.bias"])}
 
+    # Head-layout permutation: the public model splits the channel axis as
+    # view(B, head_dim, num_heads, N) — head_dim-major — while our attention
+    # reshapes (B, K, num_heads, head_dim) — num_heads-major
+    # (convert2onnx/superglue.py:139-142 vs _attention above). Absorb the
+    # difference at load time by permuting q/k/v OUTPUT channels and merge
+    # INPUT channels so the compiled attention math is identical.
+    d = cfg.descriptor_dim
+    dh = d // cfg.num_heads
+    head_perm = np.arange(d).reshape(dh, cfg.num_heads).T.ravel()
+
+    def lin_qkv(prefix):
+        p = lin(prefix)
+        return {"w": p["w"][:, head_perm], "b": p["b"][head_perm]}
+
+    def lin_merge(prefix):
+        p = lin(prefix)
+        return {"w": p["w"][head_perm, :], "b": p["b"]}
+
     def fold_bn(prefix, eps=1e-5):
         g = sd[f"{prefix}.weight"]
         b = sd[f"{prefix}.bias"]
@@ -138,10 +156,10 @@ def load_torch_weights(path: str, cfg: SuperGlueConfig | None = None) -> dict:
     for li in range(cfg.num_gnn_layers):
         base = f"gnn.layers.{li}"
         layer = {
-            "q": lin(f"{base}.attn.proj.0"),
-            "k": lin(f"{base}.attn.proj.1"),
-            "v": lin(f"{base}.attn.proj.2"),
-            "merge": lin(f"{base}.attn.merge"),
+            "q": lin_qkv(f"{base}.attn.proj.0"),
+            "k": lin_qkv(f"{base}.attn.proj.1"),
+            "v": lin_qkv(f"{base}.attn.proj.2"),
+            "merge": lin_merge(f"{base}.attn.merge"),
         }
         mlp = []
         m0 = lin(f"{base}.mlp.0")
