@@ -34,7 +34,7 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _build_slam(args, use_lines=None):
+def _build_slam(args, use_lines=None, rectify=True):
     _enable_compile_cache()
     from rspl_slam_tpu.config import load_system_config
     from rspl_slam_tpu.frontend.frontends import NeuralFrontend
@@ -45,7 +45,8 @@ def _build_slam(args, use_lines=None):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, use_lines=use_lines)
-    fe = NeuralFrontend(cfg, matcher=getattr(args, "matcher", "superglue"))
+    fe = NeuralFrontend(cfg, matcher=getattr(args, "matcher", "superglue"),
+                        rectify=rectify)
     return SLAMSystem(cfg, fe), cfg
 
 
@@ -54,12 +55,16 @@ def cmd_run(args):
     from rspl_slam_tpu.camera import build_rectify_maps
     from rspl_slam_tpu.datasets import EurocDataset
 
-    slam, cfg = _build_slam(args, use_lines=not args.no_lines)
+    use_native = native.available() and not getattr(args, "no_native", False)
+    # with the native prefetcher, rectification happens in its decode
+    # threads; the pure-Python path rectifies inside the frontend
+    slam, cfg = _build_slam(args, use_lines=not args.no_lines,
+                            rectify=not use_native)
     ds = EurocDataset(args.dataroot)
     n = len(ds) if args.max_frames <= 0 else min(len(ds), args.max_frames)
     print(f"dataset: {args.dataroot} ({n} frames)")
     t0 = time.perf_counter()
-    if native.available() and not getattr(args, "no_native", False):
+    if use_native:
         # native threaded prefetch + in-loader rectification
         lefts, rights = ds.file_lists()
         map_l = build_rectify_maps(cfg.camera, "left")

@@ -56,6 +56,14 @@ class FrameFeatures:
     line_members: np.ndarray | None = None  # (L, K) bool
 
 
+@jax.jit
+def _remap_batch(images: jnp.ndarray, maps: jnp.ndarray) -> jnp.ndarray:
+    """Batched bilinear rectification: (B, H, W) images × (B, H, W, 2) maps."""
+    from rspl_slam_tpu.camera import remap_bilinear
+
+    return jax.vmap(remap_bilinear)(images, maps)
+
+
 def _stereo_associate(cfg: SystemConfig, xyL, xyR, validL, validR, i0):
     """Left-right matches → per-left-keypoint uR/depth with the disparity
     gate min_x_diff < uL−uR < max_x_diff, |vL−vR| ≤ max_y_diff
@@ -116,11 +124,25 @@ class NeuralFrontend:
 
     def __init__(self, cfg: SystemConfig, sp_params=None, sg_params=None,
                  compute_dtype=jnp.bfloat16, seed: int = 0, rcf_params=None,
-                 use_lines: bool | None = None, matcher: str = "superglue"):
+                 use_lines: bool | None = None, matcher: str = "superglue",
+                 rectify: bool = True):
         self.cfg = cfg
         self.use_lines = cfg.use_lines if use_lines is None else use_lines
         assert matcher in ("superglue", "cosine")
         self.matcher = matcher
+        # rectify EVERY ingested frame, like the reference's AddInput →
+        # Camera::UndistortImage (map_builder.cc:57, camera.cc:87). No-op
+        # when the config carries no raw calibration (input pre-rectified)
+        # or when an upstream loader already rectified (rectify=False —
+        # the native prefetcher remaps in its decode threads).
+        self._rect_maps = None
+        if rectify:
+            from rspl_slam_tpu.camera import build_rectify_maps
+
+            ml = build_rectify_maps(cfg.camera, "left")
+            mr = build_rectify_maps(cfg.camera, "right")
+            if ml is not None and mr is not None:
+                self._rect_maps = jnp.asarray(np.stack([ml, mr]))
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         from rspl_slam_tpu.models.weights import load_weights
@@ -154,18 +176,16 @@ class NeuralFrontend:
                     rcf_params = rcf.init_params(jax.random.PRNGKey(seed + 1))
             self.rcf_params = rcf_params
 
-    def _extract_lines(self, img_l, img_r):
-        """RCF edge maps → Hough segments → merge/filter, both images —
-        ≙ RCF::infer + LineDetector::LineExtractor (map_builder.cc:98-122,
-        line_processor.cc:455-490)."""
+    def _extract_lines(self, imgs):
+        """RCF edge maps → Hough segments → merge/filter, both images of the
+        (2, H, W) rectified stack — ≙ RCF::infer + LineDetector::
+        LineExtractor (map_builder.cc:98-122, line_processor.cc:455-490)."""
         from rspl_slam_tpu.models import rcf
         from rspl_slam_tpu.ops import lines as lops
 
         ld = self.cfg.line_detector
-        edges = rcf.edge_map(
-            self.rcf_params, jnp.asarray(np.stack([img_l, img_r])),
-            self.compute_dtype,
-        )
+        edges = rcf.edge_map(self.rcf_params, jnp.asarray(imgs),
+                             self.compute_dtype)
         out = []
         for b in range(2):
             segs, valid, _ = lops.detect_line_segments(
@@ -198,6 +218,8 @@ class NeuralFrontend:
 
     def extract_pair(self, img_l: np.ndarray, img_r: np.ndarray) -> FrameFeatures:
         imgs = jnp.asarray(np.stack([img_l, img_r]))
+        if self._rect_maps is not None:
+            imgs = _remap_batch(imgs, self._rect_maps)
         feats = superpoint.extract(
             self.sp_params, imgs, self.cfg.superpoint, self.compute_dtype
         )
@@ -217,17 +239,17 @@ class NeuralFrontend:
             meas=meas, depth=depth,
         )
         if self.use_lines:
-            ff = self._attach_lines(ff, img_l, img_r, xyR, validR, i0, uR)
+            ff = self._attach_lines(ff, imgs, xyR, validR, i0, uR)
         return ff
 
-    def _attach_lines(self, ff: FrameFeatures, img_l, img_r, xyR, validR,
+    def _attach_lines(self, ff: FrameFeatures, imgs, xyR, validR,
                       i0, uR) -> FrameFeatures:
-        """Detect + merge lines for both images, assign keypoints, and do
-        stereo line matching via gated stereo point matches
-        (frame.cc:178-203)."""
+        """Detect + merge lines for both images of the rectified (2, H, W)
+        stack, assign keypoints, and do stereo line matching via gated
+        stereo point matches (frame.cc:178-203)."""
         from rspl_slam_tpu.ops import lines as lops
 
-        segs_l, segs_r = self._extract_lines(img_l, img_r)
+        segs_l, segs_r = self._extract_lines(imgs)
         LN = self.cfg.line_detector.max_lines
         lines, line_valid = _pad_lines(segs_l, LN)
         members = np.zeros((LN, len(ff.xy)), bool)
@@ -272,6 +294,16 @@ class NeuralFrontend:
         (for their line state). Returns list[FrameFeatures]."""
         N = len(pairs)
         imgs = jnp.asarray(np.stack([im for p in pairs for im in p]))  # (2N,...)
+        if any(fe._rect_maps is not None for fe in frontends):
+            maps = jnp.concatenate([
+                fe._rect_maps if fe._rect_maps is not None
+                else jnp.stack(jnp.meshgrid(
+                    jnp.arange(imgs.shape[2], dtype=jnp.float32),
+                    jnp.arange(imgs.shape[1], dtype=jnp.float32),
+                ), -1)[None].repeat(2, 0)
+                for fe in frontends
+            ])
+            imgs = _remap_batch(imgs, maps)
         feats = superpoint.extract(
             self.sp_params, imgs, self.cfg.superpoint, self.compute_dtype
         )
@@ -297,8 +329,9 @@ class NeuralFrontend:
             )
             fe = frontends[s]
             if getattr(fe, "use_lines", False):
-                # line extraction stays per-sequence (RCF + host merge)
-                ff = fe._attach_lines(ff, pairs[s][0], pairs[s][1],
+                # line extraction stays per-sequence (RCF + host merge);
+                # feed the RECTIFIED pair
+                ff = fe._attach_lines(ff, imgs[2 * s: 2 * s + 2],
                                       xy[ri], va[ri], i0_all[s], uR)
             out.append(ff)
         return out
