@@ -134,6 +134,40 @@ class MapStore:
         self.n_pt += 1
         return i
 
+    def new_mappoints_batch(self, pos: np.ndarray, desc: np.ndarray,
+                            status=PT_GOOD) -> np.ndarray:
+        """Allocate n mappoint slots in one shot (the keyframe-insertion hot
+        path creates up to K landmarks per keyframe — per-slot Python calls
+        dominated the host loop). Returns the new slot indices."""
+        n = len(pos)
+        i0 = self.n_pt
+        assert i0 + n <= self.pt_status.shape[0], "mappoint capacity exceeded"
+        sl = slice(i0, i0 + n)
+        self.pt_status[sl] = status
+        self.pt_pos[sl] = pos
+        self.pt_desc[sl] = desc
+        self.pt_obs_kf[sl] = -1
+        self.pt_obs_kpt[sl] = -1
+        self.pt_obs_n[sl] = 0
+        self.n_pt += n
+        return np.arange(i0, i0 + n, dtype=np.int64)
+
+    def add_point_obs_batch(self, pts: np.ndarray, kf: int, kpts: np.ndarray):
+        """Record observations of many mappoints from ONE keyframe.
+        ``pts`` must be unique (one observation per landmark per frame —
+        the reference's observer map had the same key structure)."""
+        pts = np.asarray(pts, np.int64)
+        kpts = np.asarray(kpts, np.int64)
+        n_arr = self.pt_obs_n[pts]
+        simple = n_arr < MAX_OBS
+        ps, ns = pts[simple], n_arr[simple]
+        self.pt_obs_kf[ps, ns] = kf
+        self.pt_obs_kpt[ps, ns] = kpts[simple]
+        self.pt_obs_n[ps] = ns + 1
+        for p, k in zip(pts[~simple], kpts[~simple]):  # rare: full rings
+            self.add_point_obs(int(p), kf, int(k))
+        self.kf_track[kf, kpts] = pts
+
     def add_point_obs(self, pt: int, kf: int, kpt: int):
         n = self.pt_obs_n[pt]
         if n < MAX_OBS:
@@ -257,95 +291,79 @@ class MapStore:
         fsel[: len(frames)] = frames
         f_used = np.zeros(F, bool)
         f_used[: len(frames)] = True
-        # pose slot lookup
-        slot_of = {int(kf): i for i, kf in enumerate(frames)}
+        # pose slot lookup as a dense array (loop-free membership tests)
+        slot_arr = np.full(self.n_kf, -1, np.int64)
+        slot_arr[frames] = np.arange(len(frames))
         # fixed: the first keyframe globally stays fixed; additionally if
         # only one frame, fix it. Else fix the oldest frame in the window.
         fixed = np.ones(F, bool)  # padding slots fixed (inert identity rows)
         fixed[: len(frames)] = False
         oldest = int(frames[np.argmin(self.kf_frame_id[frames])])
-        fixed[slot_of[oldest]] = True
-        for kf in frames:
-            if self.kf_fixed[kf]:
-                fixed[slot_of[int(kf)]] = True
+        fixed[slot_arr[oldest]] = True
+        fixed[: len(frames)] |= self.kf_fixed[frames]
 
-        # candidate points: union of tracks in window frames
+        # candidate points: union of tracks in window frames (ascending)
         cand = np.unique(self.kf_track[frames][self.kf_track[frames] >= 0])
         cand = cand[self.pt_status[cand] == PT_GOOD]
 
-        p_pose, p_point, p_meas, p_stereo = [], [], [], []
-        pts_sel = []
-        for pt in cand:
-            if len(pts_sel) >= max_points:
-                break
-            n = self.pt_obs_n[pt]
-            rows = []
-            n_stereo = 0
-            for o in range(n):
-                kf = int(self.pt_obs_kf[pt, o])
-                if kf not in slot_of:
-                    continue
-                kp = int(self.pt_obs_kpt[pt, o])
-                meas = self.kf_meas[kf, kp]
-                stereo = meas[2] > 0
-                n_stereo += int(stereo)
-                rows.append((slot_of[kf], meas, stereo))
-            if not rows or (n_stereo == 0 and len(rows) < 2):
-                continue
-            li = len(pts_sel)
-            pts_sel.append(pt)
-            for slot, meas, stereo in rows:
-                p_pose.append(slot)
-                p_point.append(li)
-                p_meas.append(meas)
-                p_stereo.append(stereo)
+        # all observations of all candidates, gathered in one shot
+        obs_kf = self.pt_obs_kf[cand]  # (n, MAX_OBS)
+        obs_kp = self.pt_obs_kpt[cand]
+        slots = np.where(obs_kf >= 0, slot_arr[np.maximum(obs_kf, 0)], -1)
+        in_win = slots >= 0
+        meas = self.kf_meas[np.maximum(obs_kf, 0), np.maximum(obs_kp, 0)]
+        stereo = in_win & (meas[..., 2] > 0)
+        n_rows = in_win.sum(1)
+        n_st = stereo.sum(1)
+        # landmark admission: ≥1 stereo or ≥2 mono observations (map.cc:652)
+        keep = np.nonzero((n_rows > 0) & ((n_st > 0) | (n_rows >= 2)))[0]
+        keep = keep[:max_points]
+        pts_sel = cand[keep]
+        ci, oi = np.nonzero(in_win[keep])  # row-major: grouped by point
+        p_point = ci.astype(np.int64)
+        p_pose = slots[keep][ci, oi].astype(np.int64)
+        p_meas = meas[keep][ci, oi].astype(np.float64)
+        p_stereo = stereo[keep][ci, oi]
 
-        # candidate lines
-        l_pose, l_line, l_eps, l_eps_r, l_stereo = [], [], [], [], []
-        lns_sel = []
+        # candidate lines (same structure; Lw is small)
         ltracks = self.kf_line_track[frames]
         lcand = np.unique(ltracks[ltracks >= 0])
         lcand = lcand[self.ln_valid[lcand] & self.ln_has_endpoints[lcand]]
-        for ln in lcand:
-            if len(lns_sel) >= max_lines_w:
-                break
-            rows = []
-            n_stereo = 0
-            for o in range(self.ln_obs_n[ln]):
-                kf = int(self.ln_obs_kf[ln, o])
-                if kf not in slot_of:
-                    continue
-                idx = int(self.ln_obs_idx[ln, o])
-                seg = self.kf_lines[kf, idx]
-                stereo = bool(self.kf_line_has_right[kf, idx])
-                segr = self.kf_lines_right[kf, idx]
-                n_stereo += int(stereo)
-                rows.append((slot_of[kf], seg, segr, stereo))
-            if not rows or (n_stereo == 0 and len(rows) < 2):
-                continue
-            li = len(lns_sel)
-            lns_sel.append(ln)
-            for slot, seg, segr, stereo in rows:
-                l_pose.append(slot)
-                l_line.append(li)
-                l_eps.append(seg.reshape(2, 2))
-                l_eps_r.append(segr.reshape(2, 2))
-                l_stereo.append(stereo)
+        lobs_kf = self.ln_obs_kf[lcand]
+        lobs_ix = self.ln_obs_idx[lcand]
+        lslots = np.where(lobs_kf >= 0, slot_arr[np.maximum(lobs_kf, 0)], -1)
+        l_in = lslots >= 0
+        lkf = np.maximum(lobs_kf, 0)
+        lix = np.maximum(lobs_ix, 0)
+        lseg = self.kf_lines[lkf, lix]  # (m, MAX_OBS, 4)
+        lsegr = self.kf_lines_right[lkf, lix]
+        lst = l_in & self.kf_line_has_right[lkf, lix]
+        ln_rows = l_in.sum(1)
+        ln_st = lst.sum(1)
+        lkeep = np.nonzero((ln_rows > 0) & ((ln_st > 0) | (ln_rows >= 2)))[0]
+        lkeep = lkeep[:max_lines_w]
+        lns_sel = lcand[lkeep]
+        lci, loi = np.nonzero(l_in[lkeep])
+        l_line = lci.astype(np.int64)
+        l_pose = lslots[lkeep][lci, loi].astype(np.int64)
+        l_eps = lseg[lkeep][lci, loi].reshape(-1, 2, 2).astype(np.float64)
+        l_eps_r = lsegr[lkeep][lci, loi].reshape(-1, 2, 2).astype(np.float64)
+        l_stereo = lst[lkeep][lci, loi]
 
-        def pad_arr(lst, cap, shape, dtype=np.float64):
+        def pad_arr(arr, cap, shape, dtype=np.float64):
             out = np.zeros((cap, *shape), dtype)
-            n = min(len(lst), cap)
+            n = min(len(arr), cap)
             if n:
-                out[:n] = np.asarray(lst[:n], dtype)
+                out[:n] = np.asarray(arr[:n], dtype)
             return out, n
 
         P = max_points
         Lw = max_lines_w
         points = np.zeros((P, 3))
-        if pts_sel:
+        if len(pts_sel):
             points[: len(pts_sel)] = self.pt_pos[pts_sel]
         lines = np.tile(np.array([0, 0, 1.0, 1, 0, 0]), (Lw, 1))
-        if lns_sel:
+        if len(lns_sel):
             lines[: len(lns_sel)] = self.ln_plucker[lns_sel]
 
         Tcw = np.linalg.inv(self.kf_pose[fsel])
@@ -376,10 +394,8 @@ class MapStore:
         mapping = dict(
             frames=frames, pts=np.asarray(pts_sel, np.int64),
             lns=np.asarray(lns_sel, np.int64),
-            p_pose=np.asarray(p_pose, np.int64),
-            p_point=np.asarray(p_point, np.int64),
-            l_pose=np.asarray(l_pose, np.int64),
-            l_line=np.asarray(l_line, np.int64),
+            p_pose=p_pose, p_point=p_point,
+            l_pose=l_pose, l_line=l_line,
             ncp=ncp, ncl=ncl,
         )
         return problem, mapping

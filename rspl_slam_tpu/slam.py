@@ -51,9 +51,13 @@ def _members_to_lists(members: np.ndarray | None, width: int = 32) -> np.ndarray
         return None
     LN = members.shape[0]
     out = np.full((LN, width), -1, np.int32)
-    for li in range(LN):
-        idx = np.nonzero(members[li])[0][:width]
-        out[li, : len(idx)] = idx
+    if LN == 0:
+        return out
+    rank = members.cumsum(1) - 1  # per-row rank of each member
+    li, ki = np.nonzero(members)
+    r = rank[li, ki]
+    m = r < width
+    out[li[m], r[m]] = ki[m]
     return out
 
 
@@ -145,19 +149,20 @@ class SLAMSystem:
         )
         Rwc, twc = Twc[:3, :3], Twc[:3, 3]
         # all gates were checked up front (≥150 kpts, ≥100 stereo) so map
-        # mutation below cannot need rolling back
-        created = 0
-        for i in np.nonzero(stereo_ok)[0]:
-            d = feats.depth[i]
-            pc = np.array([
-                (feats.xy[i, 0] - self.cfg.camera.cx) / self.cfg.camera.fx * d,
-                (feats.xy[i, 1] - self.cfg.camera.cy) / self.cfg.camera.fy * d,
-                d,
-            ])
-            pw = Rwc @ pc + twc
-            pt = self.map.new_mappoint(pw, feats.desc[i])
-            self.map.add_point_obs(pt, kf, int(i))
-            created += 1
+        # mutation below cannot need rolling back; landmark creation is one
+        # batched back-projection (≙ the Init loop, map_builder.cc:390-404)
+        cam = self.cfg.camera
+        idx = np.nonzero(stereo_ok)[0]
+        d = feats.depth[idx]
+        pc = np.stack([
+            (feats.xy[idx, 0] - cam.cx) / cam.fx * d,
+            (feats.xy[idx, 1] - cam.cy) / cam.fy * d,
+            d,
+        ], -1)
+        pw = pc @ Rwc.T + twc
+        pts = self.map.new_mappoints_batch(pw, feats.desc[idx])
+        self.map.add_point_obs_batch(pts, kf, idx)
+        created = len(idx)
         if has_lines:
             self._process_keyframe_lines(kf, feats, np.full(len(feats.xy), -1))
         self.initialized = True
@@ -302,38 +307,51 @@ class SLAMSystem:
         ref_tracks = self.map.kf_track[self._ref_kf]
         Rwc, twc = Twc[:3, :3], Twc[:3, 3]
         cam = self.cfg.camera
-        for i in range(len(i0)):
-            if not feats.valid[i]:
-                continue
-            j = i0[i]
-            pt = ref_tracks[j] if j >= 0 else -1
-            if pt >= 0 and self.map.pt_status[pt] == map_store.PT_GOOD and (
-                len(inlier_row) == 0 or inlier_row[i] or j < 0
-            ):
-                # extend existing mappoint (map.cc:40-60)
-                self.map.add_point_obs(int(pt), kf, i)
-            elif feats.depth[i] > 0:
-                # new stereo landmark (map.cc:61-73 / Init path)
-                d = feats.depth[i]
-                pc = np.array([
-                    (feats.xy[i, 0] - cam.cx) / cam.fx * d,
-                    (feats.xy[i, 1] - cam.cy) / cam.fy * d,
-                    d,
-                ])
-                pw = Rwc @ pc + twc
-                new_pt = self.map.new_mappoint(pw, feats.desc[i])
-                self.map.add_point_obs(new_pt, kf, i)
-            elif pt >= 0 and self.map.pt_status[pt] == map_store.PT_UNTRIANGULATED:
-                # extend a pending mono landmark
-                self.map.add_point_obs(int(pt), kf, i)
-            else:
-                # mono-only keypoint → pending landmark, multi-view
-                # triangulated once ≥2 keyframes observe it (map.cc:40-60)
-                new_pt = self.map.new_mappoint(
-                    np.zeros(3), feats.desc[i],
-                    status=map_store.PT_UNTRIANGULATED,
-                )
-                self.map.add_point_obs(new_pt, kf, i)
+        # vectorized landmark categorization over the K keypoint slots
+        # (≙ the per-feature branch in map.cc:40-73)
+        K_cap = len(i0)
+        valid = np.asarray(feats.valid, bool)
+        j = np.asarray(i0)
+        pt = np.where(j >= 0, ref_tracks[np.maximum(j, 0)], -1)
+        status = self.map.pt_status[np.maximum(pt, 0)]
+        inl_ok = (
+            np.ones(K_cap, bool) if len(inlier_row) == 0
+            else (np.asarray(inlier_row, bool) | (j < 0))
+        )
+        extend_good = valid & (pt >= 0) & (status == map_store.PT_GOOD) & inl_ok
+        new_stereo = valid & ~extend_good & (feats.depth > 0)
+        extend_pend = (valid & ~extend_good & ~new_stereo
+                       & (pt >= 0) & (status == map_store.PT_UNTRIANGULATED))
+        new_mono = valid & ~extend_good & ~new_stereo & ~extend_pend
+
+        # extend existing mappoints (map.cc:40-60); if several keypoints
+        # resolved to the same landmark (degenerate matching), keep the first
+        idx = np.nonzero(extend_good | extend_pend)[0]
+        if len(idx):
+            _, first = np.unique(pt[idx], return_index=True)
+            idx = idx[np.sort(first)]
+            self.map.add_point_obs_batch(pt[idx], kf, idx)
+        # new stereo landmarks, back-projected in one batch (map.cc:61-73)
+        idx = np.nonzero(new_stereo)[0]
+        if len(idx):
+            d = feats.depth[idx]
+            pc = np.stack([
+                (feats.xy[idx, 0] - cam.cx) / cam.fx * d,
+                (feats.xy[idx, 1] - cam.cy) / cam.fy * d,
+                d,
+            ], -1)
+            pw = pc @ Rwc.T + twc
+            new_pts = self.map.new_mappoints_batch(pw, feats.desc[idx])
+            self.map.add_point_obs_batch(new_pts, kf, idx)
+        # mono-only keypoints → pending landmarks, multi-view triangulated
+        # once ≥2 keyframes observe them
+        idx = np.nonzero(new_mono)[0]
+        if len(idx):
+            new_pts = self.map.new_mappoints_batch(
+                np.zeros((len(idx), 3)), feats.desc[idx],
+                status=map_store.PT_UNTRIANGULATED,
+            )
+            self.map.add_point_obs_batch(new_pts, kf, idx)
         self._triangulate_pending_points(kf)
         if has_lines:
             self._process_keyframe_lines(kf, feats, i0)
@@ -391,26 +409,33 @@ class SLAMSystem:
         # (re)triangulate maplines observed here from their on-line mappoints
         self._triangulate_keyframe_maplines(kf, feats)
 
-    def _gather_mapline_points(self, ln: int):
-        """Mappoints supporting a mapline, gathered over ALL its
-        observations (map.cc:341-379). Points seen on the line from ≥2
-        viewpoints are preferred — accidental projective members differ
-        between viewpoints, true on-line points repeat."""
-        counts: dict[int, int] = {}
-        for o in range(self.map.ln_obs_n[ln]):
-            kf = self.map.ln_obs_kf[ln, o]
-            li = self.map.ln_obs_idx[ln, o]
-            if kf < 0:
-                continue
-            for k in self.map.kf_line_points[kf, li]:
-                if k < 0:
-                    break
-                pt = int(self.map.kf_track[kf, k])
-                if pt >= 0 and self.map.pt_status[pt] == map_store.PT_GOOD:
-                    counts[pt] = counts.get(pt, 0) + 1
-        multi = [p for p, c in counts.items() if c >= 2]
-        pts_idx = multi if len(multi) >= 3 else list(counts.keys())
-        return [self.map.pt_pos[p] for p in pts_idx]
+    def _mapline_support(self, ln: int):
+        """Unique GOOD mappoints on all of mapline ``ln``'s observed 2D
+        lines, with their multi-view repeat counts — one vectorized gather
+        over the observation table (map.cc:341-379)."""
+        m = self.map
+        n = m.ln_obs_n[ln]
+        if n == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        kfs = m.ln_obs_kf[ln, :n]
+        lis = m.ln_obs_idx[ln, :n]
+        ok = kfs >= 0
+        kfs, lis = kfs[ok], lis[ok]
+        ks = m.kf_line_points[kfs, lis]  # (n, 32) keypoint slots
+        pts = m.kf_track[kfs[:, None], np.maximum(ks, 0)]
+        good = (ks >= 0) & (pts >= 0)
+        flat = pts[good]
+        flat = flat[m.pt_status[flat] == map_store.PT_GOOD]
+        return np.unique(flat, return_counts=True)
+
+    def _gather_mapline_points(self, ln: int) -> np.ndarray:
+        """Mappoint positions supporting a mapline. Points seen on the line
+        from ≥2 viewpoints are preferred — accidental projective members
+        differ between viewpoints, true on-line points repeat."""
+        uniq, counts = self._mapline_support(ln)
+        multi = uniq[counts >= 2]
+        pts_idx = multi if len(multi) >= 3 else uniq
+        return self.map.pt_pos[pts_idx]
 
     def _triangulate_keyframe_maplines(self, kf: int, feats: FrameFeatures):
         from rspl_slam_tpu.geometry import triangulation as tri
@@ -453,31 +478,31 @@ class SLAMSystem:
         cand = cand[self.map.pt_obs_n[cand] >= 2]
         if len(cand) == 0:
             return
-        M = map_store.MAX_OBS
-        Twc = np.tile(np.eye(4), (len(cand), M, 1, 1))
-        uvn = np.zeros((len(cand), M, 2))
-        mask = np.zeros((len(cand), M), bool)
-        for ci, pt in enumerate(cand):
-            for o in range(self.map.pt_obs_n[pt]):
-                okf = self.map.pt_obs_kf[pt, o]
-                okp = self.map.pt_obs_kpt[pt, o]
-                Twc[ci, o] = self.map.kf_pose[okf]
-                uv = self.map.kf_meas[okf, okp, :2]
-                uvn[ci, o] = [(uv[0] - cam.cx) / cam.fx, (uv[1] - cam.cy) / cam.fy]
-                mask[ci, o] = True
+        okf = self.map.pt_obs_kf[cand]  # (n, MAX_OBS)
+        okp = self.map.pt_obs_kpt[cand]
+        mask = okf >= 0
+        Twc = np.where(
+            mask[..., None, None],
+            self.map.kf_pose[np.maximum(okf, 0)],
+            np.eye(4),
+        )
+        uv = self.map.kf_meas[np.maximum(okf, 0), np.maximum(okp, 0), :2]
+        uvn = np.where(
+            mask[..., None],
+            (uv - [cam.cx, cam.cy]) / [cam.fx, cam.fy],
+            0.0,
+        )
         import jax
 
         pts, ok = jax.vmap(triangulation.triangulate_point_multiview)(
             jnp.asarray(Twc), jnp.asarray(uvn), jnp.asarray(mask)
         )
-        pts = np.asarray(pts)
         ok = np.asarray(ok)
-        for ci, pt in enumerate(cand):
-            if ok[ci]:
-                self.map.pt_pos[pt] = pts[ci]
-                self.map.pt_status[pt] = map_store.PT_GOOD
+        sel = cand[ok]
+        self.map.pt_pos[sel] = np.asarray(pts)[ok]
+        self.map.pt_status[sel] = map_store.PT_GOOD
         # refresh representative descriptors of multi-view points
-        self.map.update_mappoint_descriptors(cand[ok])
+        self.map.update_mappoint_descriptors(sel)
 
     def gather_ba_problem(self, center_kf: int):
         """Assemble the BA window around ``center_kf`` as (BAProblem,
@@ -528,18 +553,8 @@ class SLAMSystem:
         import jax.numpy as jnp
 
         for ln in lns:
-            pts = []
-            for o in range(self.map.ln_obs_n[ln]):
-                kf = self.map.ln_obs_kf[ln, o]
-                li = self.map.ln_obs_idx[ln, o]
-                if kf < 0:
-                    continue
-                for k in self.map.kf_line_points[kf, li]:
-                    if k < 0:
-                        break
-                    pt = self.map.kf_track[kf, k]
-                    if pt >= 0 and self.map.pt_status[pt] == map_store.PT_GOOD:
-                        pts.append(self.map.pt_pos[pt])
+            uniq, _ = self._mapline_support(ln)
+            pts = self.map.pt_pos[uniq]
             if len(pts) < 2:
                 continue
             P = 32
