@@ -478,9 +478,9 @@ class OracleFrontend:
         a2b = sim.argmax(1)
         b2a = sim.argmax(0)
         K = len(a2b)
-        out = np.full(K, -1, np.int64)
-        for i in range(K):
-            j = a2b[i]
-            if fA.valid[i] and fB.valid[j] and b2a[j] == i and sim[i, j] > 0.7:
-                out[i] = j
-        return out
+        rows = np.arange(K)
+        best = sim[rows, a2b]
+        ok = (
+            fA.valid & fB.valid[a2b] & (b2a[a2b] == rows) & (best > 0.7)
+        )
+        return np.where(ok, a2b, -1).astype(np.int64)

@@ -284,11 +284,20 @@ class SLAMSystem:
             return
         index, t, Twc = self._last_frame_meta
         feats = self._last_feats
-        # previous frame has no pose-optimized mappoint inliers recorded;
-        # associate by matching to the current ref keyframe
+        # associate by matching to the current ref keyframe, then
+        # RE-OPTIMIZE the promoted frame's pose on those matches so its
+        # observations are chi²-gated before they seed landmarks — the
+        # reference re-extracts and re-optimizes too (map_builder.cc:
+        # 218-236); trusting ungated matches exactly when tracking is
+        # already weak would poison the map with outliers.
         i0 = self.frontend.match(feats, self._ref_feats)
-        inl = np.ones(len(i0), bool)
-        self._insert_keyframe(index, t, Twc, feats, i0, inl)
+        Twc_opt, n_inl, inlier_row = self._pose_optimize(feats, i0)
+        if n_inl >= max(self.cfg.keyframe.min_num_match, 10):
+            Twc = Twc_opt
+        # when the solve is under-constrained, inlier_row is all-False:
+        # no match is extended; only self-consistent fresh stereo landmarks
+        # are created from the promoted frame
+        self._insert_keyframe(index, t, Twc, feats, i0, inlier_row)
 
     # -------------------------------------------------------------- keyframe
     def _insert_keyframe(self, index, t, Twc, feats: FrameFeatures,
