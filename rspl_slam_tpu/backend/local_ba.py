@@ -82,6 +82,12 @@ class BAResult(NamedTuple):
 _LINE_INFO = 0.1  # line information scale (g2o_optimization.cc:138, 162)
 
 
+def _reduce(x, axis_name):
+    """Cross-device sum when running under shard_map (constraint-sharded
+    distributed BA, parallel/dist_ba.py); identity single-device."""
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
 def _onehot_sum(idx, num_segments, terms):
     """segment_sum as a one-hot MXU matmul — TPU scatters serialize, while
     einsum("cs,c...->s...") is one batched contraction on the systolic array
@@ -150,8 +156,14 @@ def _robust_weights(r, info, delta, active):
 
 
 def _build_and_solve(K, Tcw, points, lines, prob, p_active, l_active,
-                     use_huber, deltas, lam):
-    """One LM step: assemble the Schur-reduced system and return updates."""
+                     use_huber, deltas, lam, axis_name=None):
+    """One LM step: assemble the Schur-reduced system and return updates.
+
+    With ``axis_name`` set (under shard_map), the constraint arrays of
+    ``prob`` are each device's shard; assembled blocks are psum-reduced so
+    every device solves the identical replicated system — the distributed
+    Schur reduction's only collective (O(F²·36 + P·F·18 + L·F·24) floats).
+    """
     F = Tcw.shape[0]
     P = points.shape[0]
     L = lines.shape[0]
@@ -202,6 +214,12 @@ def _build_and_solve(K, Tcw, points, lines, prob, p_active, l_active,
         prob.l_line, L, Wl_terms[:, None] * oh_pose_l[:, :, None, None]
     )  # (L, F, 6, 4)
 
+    # cross-device reduction of the assembled normal-equation blocks: after
+    # this, every device holds the full system and the solve is replicated
+    Hpp, gp, Hxx, gx, Hll, gl, Wx, Wl = _reduce(
+        (Hpp, gp, Hxx, gx, Hll, gl, Wx, Wl), axis_name
+    )
+
     # --- damp landmark blocks and invert (batched 3×3 / 4×4) ---------------
     Hxx_d = Hxx + (lam * jnp.diagonal(Hxx, axis1=-2, axis2=-1))[..., :, None] * jnp.eye(3, dtype=dtype) + 1e-8 * jnp.eye(3, dtype=dtype)
     Hll_d = Hll + (lam * jnp.diagonal(Hll, axis1=-2, axis2=-1))[..., :, None] * jnp.eye(4, dtype=dtype) + 1e-8 * jnp.eye(4, dtype=dtype)
@@ -242,7 +260,7 @@ def _build_and_solve(K, Tcw, points, lines, prob, p_active, l_active,
     cost = jnp.sum(_huber_rho(chi2_p, delta_p) * p_ok) + jnp.sum(
         _huber_rho(chi2_l, delta_l) * l_active
     )
-    return dp, dx, dl, cost
+    return dp, dx, dl, _reduce(cost, axis_name)
 
 
 def _huber_rho(chi2, delta):
@@ -251,7 +269,11 @@ def _huber_rho(chi2, delta):
     return jnp.where(e <= delta, chi2, 2.0 * delta * e - delta * delta)
 
 
-def _total_cost(K, Tcw, points, lines, prob, p_active, l_active, deltas, use_huber):
+def _total_cost(K, Tcw, points, lines, prob, p_active, l_active, deltas,
+                use_huber, axis_name=None):
+    """Robust cost + per-constraint chi². The scalar cost is psum-reduced
+    under shard_map (so LM accept/reject is identical on every device); the
+    chi² arrays stay shard-local, matching the sharded active masks."""
     d_p, d_sp, d_l, d_sl = deltas
     Tcw_c = Tcw[prob.p_pose]
     Xw = points[prob.p_point]
@@ -277,27 +299,31 @@ def _total_cost(K, Tcw, points, lines, prob, p_active, l_active, deltas, use_hub
     cp = jnp.where(use_huber, _huber_rho(chi2_p, delta_p), chi2_p)
     cl = jnp.where(use_huber, _huber_rho(chi2_l, delta_l), chi2_l)
     cost = jnp.sum(cp * ok_p.astype(dtype)) + jnp.sum(cl * l_active.astype(dtype))
-    return cost, chi2_p, chi2_l, z
+    return _reduce(cost, axis_name), chi2_p, chi2_l, z
 
 
-def _lm_phase(K, state, prob, p_active, l_active, deltas, use_huber, iters):
+def _lm_phase(K, state, prob, p_active, l_active, deltas, use_huber, iters,
+              axis_name=None):
     Tcw0, points0, lines0, lam0 = state
     # cost of the incoming state, carried across iterations so each LM step
     # evaluates the objective only ONCE (at the candidate state)
     cost0, *_ = _total_cost(
-        K, Tcw0, points0, lines0, prob, p_active, l_active, deltas, use_huber
+        K, Tcw0, points0, lines0, prob, p_active, l_active, deltas, use_huber,
+        axis_name,
     )
 
     def body(carry, _):
         Tcw, points, lines, lam, cost_old = carry
         dp, dx, dl, _ = _build_and_solve(
-            K, Tcw, points, lines, prob, p_active, l_active, use_huber, deltas, lam
+            K, Tcw, points, lines, prob, p_active, l_active, use_huber, deltas,
+            lam, axis_name,
         )
         Tcw_new = jax.vmap(lambda d, T: se3.exp_se3(d) @ T)(dp, Tcw)
         points_new = points + dx
         lines_new = jax.vmap(plucker.orthonormal_update)(lines, dl)
         cost_new, *_ = _total_cost(
-            K, Tcw_new, points_new, lines_new, prob, p_active, l_active, deltas, use_huber
+            K, Tcw_new, points_new, lines_new, prob, p_active, l_active,
+            deltas, use_huber, axis_name,
         )
         accept = cost_new < cost_old
         Tcw = jnp.where(accept, Tcw_new, Tcw)
@@ -316,7 +342,7 @@ def _lm_phase(K, state, prob, p_active, l_active, deltas, use_huber, iters):
 @partial(
     jax.jit,
     static_argnames=("chi2_mono", "chi2_stereo", "chi2_mono_line",
-                     "chi2_stereo_line", "iters1", "iters2"),
+                     "chi2_stereo_line", "iters1", "iters2", "axis_name"),
 )
 def optimize_local_map(
     K: CameraIntrinsics,
@@ -327,8 +353,13 @@ def optimize_local_map(
     chi2_stereo_line: float = 75.0,
     iters1: int = 10,
     iters2: int = 5,
+    axis_name: str | None = None,
 ) -> BAResult:
-    """Full local BA with the reference's 10 → gate → 5 schedule."""
+    """Full local BA with the reference's 10 → gate → 5 schedule.
+
+    ``axis_name``: when called inside shard_map with the constraint arrays
+    sharded over that mesh axis (and poses/points/lines replicated), the
+    SAME schedule runs distributed — see sharded_constraints_ba."""
     deltas = (
         jnp.sqrt(chi2_mono),
         jnp.sqrt(chi2_stereo),
@@ -342,22 +373,25 @@ def optimize_local_map(
     state = (prob.Tcw, prob.points, prob.lines, jnp.asarray(1e-4, dtype))
     # phase 1: robust kernels on, all valid constraints active
     Tcw, points, lines = _lm_phase(
-        K, state, prob, prob.p_valid, prob.l_valid, deltas, True, iters1
+        K, state, prob, prob.p_valid, prob.l_valid, deltas, True, iters1,
+        axis_name,
     )
     # gate (chi² + positive depth), kernels dropped
     _, chi2_p, chi2_l, z = _total_cost(
-        K, Tcw, points, lines, prob, prob.p_valid, prob.l_valid, deltas, False
+        K, Tcw, points, lines, prob, prob.p_valid, prob.l_valid, deltas, False,
+        axis_name,
     )
     p_active = prob.p_valid & (chi2_p <= thr_p) & (z > 1e-6)
     l_active = prob.l_valid & (chi2_l <= thr_l)
     # phase 2: plain quadratic on inliers
     state2 = (Tcw, points, lines, jnp.asarray(1e-4, dtype))
     Tcw, points, lines = _lm_phase(
-        K, state2, prob, p_active, l_active, deltas, False, iters2
+        K, state2, prob, p_active, l_active, deltas, False, iters2, axis_name
     )
     # final inlier flags
     cost, chi2_p, chi2_l, z = _total_cost(
-        K, Tcw, points, lines, prob, p_active, l_active, deltas, False
+        K, Tcw, points, lines, prob, p_active, l_active, deltas, False,
+        axis_name,
     )
     p_inlier = prob.p_valid & (chi2_p <= thr_p) & (z > 1e-6)
     l_inlier = prob.l_valid & (chi2_l <= thr_l)

@@ -20,55 +20,58 @@ def test_dryrun_multichip_8():
     __graft_entry__.dryrun_multichip(8)
 
 
-def test_sharded_ba_matches_single_device():
-    """The psum-reduced distributed BA must produce the same solution as a
-    1-device mesh run (bitwise-identical assembly up to reduction order)."""
-    import __graft_entry__  # reuse its problem builder indirectly
+def test_sharded_ba_full_parity_with_outliers_and_lines():
+    """VERDICT #4: the distributed BA runs the FULL optimize_local_map
+    schedule (Huber IRLS, LM accept/reject, 10 → chi² gate → 5, point AND
+    line constraints). 8-device vs 1-device vs the single-device solver on
+    a problem with noise + 20% gross point outliers + lines."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_local_ba import K, build_problem
 
-    from rspl_slam_tpu.backend.local_ba import BAProblem
-    from rspl_slam_tpu.backend.residuals import CameraIntrinsics
-    from rspl_slam_tpu.config import CameraConfig
+    from rspl_slam_tpu.backend import local_ba
 
-    cam = CameraConfig()
-    K = CameraIntrinsics(cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
-    rng = np.random.default_rng(1)
-    F, P = 4, 64
-    pts = rng.uniform([-3, -2, 3], [3, 2, 9], (P, 3))
-    Tcw = np.tile(np.eye(4), (F, 1, 1))
-    for f in range(F):
-        Tcw[f, 0, 3] = -0.2 * f
-    Cp = F * P
-    p_pose = np.repeat(np.arange(F), P).astype(np.int32)
-    p_point = np.tile(np.arange(P), F).astype(np.int32)
-    meas = np.zeros((Cp, 3))
-    for c in range(Cp):
-        Xc = Tcw[p_pose[c], :3, :3] @ pts[p_point[c]] + Tcw[p_pose[c], :3, 3]
-        u = K.fx * Xc[0] / Xc[2] + K.cx
-        v = K.fy * Xc[1] / Xc[2] + K.cy
-        meas[c] = [u, v, u - K.bf / Xc[2]]
-    prob = BAProblem(
-        Tcw=jnp.asarray(Tcw), pose_fixed=jnp.asarray(np.arange(F) == 0),
-        points=jnp.asarray(pts + rng.standard_normal((P, 3)) * 0.03),
-        lines=jnp.tile(jnp.asarray([0.0, 0, 1, 1, 0, 0]), (4, 1)),
-        p_pose=jnp.asarray(p_pose), p_point=jnp.asarray(p_point),
-        p_meas=jnp.asarray(meas), p_stereo=jnp.ones(Cp, bool),
-        p_valid=jnp.ones(Cp, bool),
-        l_pose=jnp.zeros(4, jnp.int32), l_line=jnp.zeros(4, jnp.int32),
-        l_eps=jnp.zeros((4, 2, 2)), l_eps_r=jnp.zeros((4, 2, 2)),
-        l_stereo=jnp.zeros(4, bool), l_valid=jnp.zeros(4, bool),
+    prob, Tcw_gt, pts_gt, lines_gt, bad = build_problem(
+        seed=5, noise_px=0.4, perturb=True, with_lines=True, outlier_frac=0.2
     )
+    # pad constraint arrays to a multiple of 8 so they shard evenly
+    prob = dist_ba.pad_constraints(prob, 8)
+
     m8 = meshlib.make_mesh(n_data=8)
     m1 = meshlib.make_mesh(n_data=1)
-    out8 = dist_ba.sharded_constraints_ba(K, prob, m8, iters=3)
-    out1 = dist_ba.sharded_constraints_ba(K, prob, m1, iters=3)
+    out8 = dist_ba.sharded_constraints_ba(K, prob, m8)
+    out1 = dist_ba.sharded_constraints_ba(K, prob, m1)
+    ref = local_ba.optimize_local_map(K, prob)
+
+    # 8-dev vs 1-dev: identical up to psum reduction order (f32 noise
+    # compounds over the 15 LM iterations, hence atol > machine eps)
     np.testing.assert_allclose(
-        np.asarray(out8.points), np.asarray(out1.points), atol=1e-4
+        np.asarray(out8.Tcw), np.asarray(out1.Tcw), atol=1e-4
     )
     np.testing.assert_allclose(
-        np.asarray(out8.Tcw), np.asarray(out1.Tcw), atol=1e-5
+        np.asarray(out8.points), np.asarray(out1.points), atol=3e-3
     )
-    # and both recover ground truth
-    assert np.abs(np.asarray(out8.points) - pts).max() < 1e-2
+    # vs the single-device solver: same semantics (reduction-order float
+    # noise can flip borderline LM accepts, hence looser tolerance)
+    np.testing.assert_allclose(
+        np.asarray(out8.Tcw), np.asarray(ref.Tcw), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out8.points), np.asarray(ref.points), atol=1e-2
+    )
+    assert np.array_equal(np.asarray(out8.l_inlier), np.asarray(ref.l_inlier))
+
+    # robustness: despite 20% gross outliers the poses recover GT and the
+    # chi² gate rejects the planted outliers (points with most observations
+    # corrupted are unrecoverable by design — their constraints get gated)
+    pose_err = np.linalg.norm(
+        np.asarray(out8.Tcw)[:, :3, 3] - Tcw_gt[:, :3, 3], axis=1
+    )
+    assert pose_err.max() < 0.03
+    p_inl = np.asarray(out8.p_inlier)
+    assert p_inl[bad].sum() <= 3, "gross outliers survived the chi2 gate"
+    n_clean = float(prob.p_valid.sum()) - len(bad)
+    assert p_inl.sum() > 0.85 * n_clean
 
 
 def test_batched_windows_sharded():
