@@ -51,21 +51,39 @@ def _build_slam(args, use_lines=None, rectify=True):
 
 
 def cmd_run(args):
+    import threading
+
     from rspl_slam_tpu import native
     from rspl_slam_tpu.camera import build_rectify_maps
-    from rspl_slam_tpu.datasets import EurocDataset
+    from rspl_slam_tpu.datasets import open_dataset
+    from rspl_slam_tpu.pipeline import PipelinedRunner
+    from rspl_slam_tpu.visualization import FramePublisher
 
     use_native = native.available() and not getattr(args, "no_native", False)
+    serial = getattr(args, "serial", False)
     # with the native prefetcher, rectification happens in its decode
     # threads; the pure-Python path rectifies inside the frontend
     slam, cfg = _build_slam(args, use_lines=not args.no_lines,
                             rectify=not use_native)
-    ds = EurocDataset(args.dataroot)
+    ds = open_dataset(args.dataroot)
     n = len(ds) if args.max_frames <= 0 else min(len(ds), args.max_frames)
     print(f"dataset: {args.dataroot} ({n} frames)")
-    t0 = time.perf_counter()
+
+    # per-frame observability ≙ the reference's per-frame publishers
+    publisher = None
+    if args.viz_dir:
+        publisher = FramePublisher(args.viz_dir,
+                                   overlay_stride=args.overlay_stride)
+        if hasattr(slam.frontend, "keep_images"):
+            slam.frontend.keep_images = True
+
+    def _report(rec):
+        if args.verbose and rec.frame_id % 50 == 0:
+            print(f"frame {rec.frame_id}: kf={rec.is_keyframe} "
+                  f"inliers={rec.num_inliers}")
+
+    loader = None
     if use_native:
-        # native threaded prefetch + in-loader rectification
         lefts, rights = ds.file_lists()
         map_l = build_rectify_maps(cfg.camera, "left")
         map_r = build_rectify_maps(cfg.camera, "right")
@@ -76,20 +94,51 @@ def cmd_run(args):
         )
         print("using native prefetcher"
               + (" + rectification" if map_l is not None else ""))
-        for i, left, right in loader:
-            rec = slam.add_frame(i, ds.timestamp(i), left, right)
-            if args.verbose and i % 50 == 0:
-                print(f"frame {i}: kf={rec.is_keyframe} inliers={rec.num_inliers}")
-        loader.close()
+
+    t0 = time.perf_counter()
+    if serial:
+        # reference-style strictly serial loop (debugging / timing splits)
+        if use_native:
+            for i, left, right in loader:
+                rec = slam.add_frame(i, ds.timestamp(i), left, right)
+                if publisher is not None:
+                    publisher(rec, slam._last_feats)
+                _report(rec)
+        else:
+            for i in range(n):
+                fr = ds[i]
+                rec = slam.add_frame(fr.index, fr.time, fr.image_left,
+                                     fr.image_right)
+                if publisher is not None:
+                    publisher(rec, slam._last_feats)
+                _report(rec)
     else:
-        for i in range(n):
-            fr = ds[i]
-            rec = slam.add_frame(fr.index, fr.time, fr.image_left,
-                                 fr.image_right)
-            if args.verbose and i % 50 == 0:
-                print(f"frame {i}: kf={rec.is_keyframe} inliers={rec.num_inliers}")
+        # the default driver is the pipelined runner: prefetch ∥ extract ∥
+        # track (≙ the reference's two worker threads, map_builder.cc:48-49)
+        on_record = ((lambda rec, feats: (publisher(rec, feats), _report(rec)))
+                     if publisher is not None else (lambda rec, _: _report(rec)))
+        runner = PipelinedRunner(slam, queue_depth=cfg.pipeline.queue_depth,
+                                 on_record=on_record)
+        if use_native:
+            # native decode threads act as the prefetch stage
+            def feeder():
+                for i, left, right in loader:
+                    runner.feed(i, ds.timestamp(i), left, right)
+                runner.close_input()
+
+            th = threading.Thread(target=feeder, daemon=True)
+            th.start()
+            runner.run_manual()
+            th.join()
+        else:
+            runner.dataset = ds
+            runner.run(max_frames=n)
+    if loader is not None:
+        loader.close()
     wall = time.perf_counter() - t0
     print(f"processed {n} frames in {wall:.1f}s ({n / wall:.1f} fps)")
+    if publisher is not None:
+        publisher.close()
     slam.save_trajectory(args.traj_path)
     print(f"trajectory → {args.traj_path}")
     if args.save_map:
@@ -133,28 +182,61 @@ def cmd_eval(args):
     print(json.dumps(res, indent=2))
 
 
+def _find_ground_truth(seq_dir: str):
+    """(times, positions) from ``gt.tum`` or the raw-EuRoC ground-truth csv
+    (``mav0/state_groundtruth_estimate0/data.csv``), or None."""
+    from rspl_slam_tpu.datasets import read_tum_trajectory
+
+    gt = os.path.join(seq_dir, "gt.tum")
+    if os.path.exists(gt):
+        t, p = read_tum_trajectory(gt)
+        return t, p[:, :3, 3]
+    csv = os.path.join(seq_dir, "mav0", "state_groundtruth_estimate0",
+                       "data.csv")
+    if os.path.exists(csv):
+        rows = np.loadtxt(csv, delimiter=",", comments="#", usecols=range(4))
+        return rows[:, 0] * 1e-9, rows[:, 1:4]
+    return None
+
+
 def cmd_batch(args):
-    """Loop sequence dirs under a root; each needs cam0/cam1 + a gt file."""
+    """Loop sequence dirs under a root (≙ run_batch.py:29-48). ONE frontend
+    (model params + jit caches) is shared across every sequence — only the
+    per-sequence map state is rebuilt."""
+    from rspl_slam_tpu.datasets import open_dataset
+    from rspl_slam_tpu.evaluation import absolute_trajectory_error
+    from rspl_slam_tpu.pipeline import PipelinedRunner
+    from rspl_slam_tpu.slam import SLAMSystem
+
+    slam0, cfg = _build_slam(args, use_lines=not args.no_lines)
+    frontend = slam0.frontend
+    os.makedirs(args.out_dir, exist_ok=True)
     rows = []
     for seq in sorted(os.listdir(args.root)):
         seq_dir = os.path.join(args.root, seq)
-        if not os.path.isdir(os.path.join(seq_dir, "cam0")):
+        if not os.path.isdir(seq_dir):
             continue
-        ns = argparse.Namespace(**vars(args))
-        ns.dataroot = seq_dir
-        ns.traj_path = os.path.join(args.out_dir, f"{seq}.txt")
-        ns.save_map = None
-        ns.viz_dir = None
-        ns.verbose = False
-        cmd_run(ns)
-        gt = os.path.join(seq_dir, "gt.tum")
-        if os.path.exists(gt):
+        try:
+            ds = open_dataset(seq_dir)
+        except FileNotFoundError:
+            continue
+        n = len(ds) if args.max_frames <= 0 else min(len(ds), args.max_frames)
+        print(f"\n=== {seq} ({n} frames)")
+        slam = SLAMSystem(cfg, frontend)
+        t0 = time.perf_counter()
+        PipelinedRunner(slam, ds).run(max_frames=n)
+        wall = time.perf_counter() - t0
+        print(f"processed {n} frames in {wall:.1f}s ({n / wall:.1f} fps)")
+        traj_path = os.path.join(args.out_dir, f"{seq}.txt")
+        slam.save_trajectory(traj_path)
+        gt = _find_ground_truth(seq_dir)
+        if gt is not None:
             from rspl_slam_tpu.datasets import read_tum_trajectory
-            from rspl_slam_tpu.evaluation import absolute_trajectory_error
 
-            t_est, p_est = read_tum_trajectory(ns.traj_path)
-            t_gt, p_gt = read_tum_trajectory(gt)
-            res = absolute_trajectory_error(t_est, p_est[:, :3, 3], t_gt, p_gt[:, :3, 3])
+            t_est, p_est = read_tum_trajectory(traj_path)
+            res = absolute_trajectory_error(
+                t_est, p_est[:, :3, 3], gt[0], gt[1]
+            )
             rows.append((seq, res["rmse"]))
     print("\nATE RMSE per sequence:")
     for seq, rmse in rows:
@@ -239,6 +321,12 @@ def main(argv=None):
     pr.add_argument("--viz-dir", dest="viz_dir", default=None)
     pr.add_argument("--max-frames", dest="max_frames", type=int, default=-1)
     pr.add_argument("--no-lines", dest="no_lines", action="store_true")
+    pr.add_argument("--serial", action="store_true",
+                    help="disable the pipelined runner (strictly serial loop)")
+    pr.add_argument("--no-native", dest="no_native", action="store_true",
+                    help="disable the native C++ prefetcher")
+    pr.add_argument("--overlay-stride", dest="overlay_stride", type=int,
+                    default=1, help="dump a feature overlay every Nth frame")
     pr.add_argument("--matcher", choices=["superglue", "cosine"],
                     default="superglue",
                     help="cosine = mutual-NN on descriptors (works with "

@@ -13,7 +13,8 @@ from dataclasses import dataclass
 import numpy as np
 
 __all__ = [
-    "StereoFrame", "EurocDataset", "write_tum_trajectory", "read_tum_trajectory",
+    "StereoFrame", "EurocDataset", "open_dataset", "write_tum_trajectory",
+    "read_tum_trajectory",
 ]
 
 
@@ -34,24 +35,82 @@ def _load_gray(path: str) -> np.ndarray:
         return np.asarray(im.convert("L"), dtype=np.float32) / 255.0
 
 
+# candidate (left, right) camera sub-directory pairs, tried in order:
+# EuRoC/OIVIO converted layout, plain left/right (UMA conversions), KITTI
+_CAM_DIR_PAIRS = [
+    (os.path.join("cam0", "data"), os.path.join("cam1", "data")),
+    ("left", "right"),
+    ("image_0", "image_1"),
+]
+
+
 class EurocDataset:
-    """EuRoC/OIVIO directory layout: ``<root>/cam0/data/*.png`` +
-    ``<root>/cam1/data/*.png``, timestamp in nanoseconds parsed from the
-    filename (dataset.cc:14-29)."""
+    """Stereo sequence reader covering the layouts the reference's batch
+    harness feeds (dataset.cc:14-29, run_batch.py):
+
+    - converted EuRoC/OIVIO/UMA: ``<root>/cam0/data/*.png`` +
+      ``<root>/cam1/data/*.png`` (the only layout the reference reads —
+      UMA Bumblebee sequences are pre-converted to it);
+    - raw EuRoC: the same nested one level under ``<root>/mav0/``, with
+      ``cam0/data.csv`` (``timestamp_ns,filename``) supplying timestamps;
+    - plain ``left/``+``right/`` or KITTI ``image_0/``+``image_1/`` dirs.
+
+    Timestamps: data.csv when present, else nanoseconds parsed from the
+    filename (dataset.cc:26), else frame index at 20 Hz (the reference used
+    wall-clock time for short filenames — deterministic index time is
+    strictly better for evaluation)."""
 
     def __init__(self, dataroot: str):
-        self.left_dir = os.path.join(dataroot, "cam0", "data")
-        self.right_dir = os.path.join(dataroot, "cam1", "data")
+        if not os.path.isdir(os.path.join(dataroot, "cam0")) and os.path.isdir(
+            os.path.join(dataroot, "mav0", "cam0")
+        ):
+            dataroot = os.path.join(dataroot, "mav0")  # raw EuRoC nesting
+        self.dataroot = dataroot
+        for left_sub, right_sub in _CAM_DIR_PAIRS:
+            ld = os.path.join(dataroot, left_sub)
+            rd = os.path.join(dataroot, right_sub)
+            if os.path.isdir(ld) and os.path.isdir(rd):
+                self.left_dir, self.right_dir = ld, rd
+                break
+        else:
+            raise FileNotFoundError(
+                f"no stereo image dirs under {dataroot} "
+                f"(tried {_CAM_DIR_PAIRS})"
+            )
         lefts = sorted(os.listdir(self.left_dir))
         rights = set(os.listdir(self.right_dir))
         self.names = [n for n in lefts if n in rights]
+        self._csv_times = self._load_csv_times()
+
+    def _load_csv_times(self):
+        """EuRoC-raw ``cam0/data.csv``: ``timestamp_ns,filename`` rows."""
+        csv = os.path.join(os.path.dirname(self.left_dir), "data.csv")
+        if not os.path.exists(csv):
+            return None
+        times = {}
+        with open(csv) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split(",")
+                if len(parts) >= 2:
+                    times[parts[1].strip()] = float(parts[0]) * 1e-9
+        return times if times else None
 
     def __len__(self) -> int:
         return len(self.names)
 
     def timestamp(self, idx: int) -> float:
-        stem = os.path.splitext(self.names[idx])[0]
-        return float(stem) * 1e-9
+        name = self.names[idx]
+        if self._csv_times is not None and name in self._csv_times:
+            return self._csv_times[name]
+        stem = os.path.splitext(name)[0]
+        # ≥13 digits = at least ms-scale epoch in ns → filename timestamp
+        # (dataset.cc:21 used length<18 as the cutoff)
+        if stem.isdigit() and len(stem) >= 13:
+            return float(stem) * 1e-9
+        return idx / 20.0
 
     def __getitem__(self, idx: int) -> StereoFrame:
         name = self.names[idx]
@@ -67,6 +126,11 @@ class EurocDataset:
         lefts = [os.path.join(self.left_dir, n) for n in self.names]
         rights = [os.path.join(self.right_dir, n) for n in self.names]
         return lefts, rights
+
+
+def open_dataset(dataroot: str) -> EurocDataset:
+    """Open a stereo sequence directory in any supported layout."""
+    return EurocDataset(dataroot)
 
 
 def write_tum_trajectory(path: str, times, poses) -> None:

@@ -54,6 +54,7 @@ class FrameFeatures:
     lines_right: np.ndarray | None = None  # (L, 4)
     line_has_right: np.ndarray | None = None  # (L,)
     line_members: np.ndarray | None = None  # (L, K) bool
+    image: np.ndarray | None = None  # (H, W) rectified left image (viz only)
 
 
 @jax.jit
@@ -125,8 +126,11 @@ class NeuralFrontend:
     def __init__(self, cfg: SystemConfig, sp_params=None, sg_params=None,
                  compute_dtype=jnp.bfloat16, seed: int = 0, rcf_params=None,
                  use_lines: bool | None = None, matcher: str = "superglue",
-                 rectify: bool = True):
+                 rectify: bool = True, keep_images: bool = False):
         self.cfg = cfg
+        # stash the rectified left image on each FrameFeatures so the
+        # per-frame overlay publisher can draw on what the features came from
+        self.keep_images = keep_images
         self.use_lines = cfg.use_lines if use_lines is None else use_lines
         assert matcher in ("superglue", "cosine")
         self.matcher = matcher
@@ -240,6 +244,8 @@ class NeuralFrontend:
         )
         if self.use_lines:
             ff = self._attach_lines(ff, imgs, xyR, validR, i0, uR)
+        if self.keep_images:
+            ff.image = np.asarray(imgs[0])
         return ff
 
     def _attach_lines(self, ff: FrameFeatures, imgs, xyR, validR,

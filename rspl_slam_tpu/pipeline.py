@@ -31,12 +31,16 @@ _SENTINEL = object()
 
 class PipelinedRunner:
     def __init__(self, slam, dataset=None, queue_depth: int = 3,
-                 feature_depth: int = 2):
+                 feature_depth: int = 2, on_record=None):
         """``slam``: a SLAMSystem. ``dataset``: optional indexable of
         StereoFrame for the prefetch stage; otherwise feed frames manually
-        with :meth:`feed`."""
+        with :meth:`feed`. ``on_record(record, feats)``: optional per-frame
+        observer called from the tracking thread after each frame — the
+        publish hook (≙ PublishFrame, map_builder.cc:238) feeding
+        visualization.FramePublisher."""
         self.slam = slam
         self.dataset = dataset
+        self.on_record = on_record
         self._img_q: queue.Queue = queue.Queue(maxsize=queue_depth)
         self._feat_q: queue.Queue = queue.Queue(maxsize=feature_depth)
         self._extract_thread = threading.Thread(target=self._extract_loop,
@@ -105,7 +109,10 @@ class PipelinedRunner:
             if item is _SENTINEL:
                 break
             index, t, feats = item
-            records.append(self.slam.add_frame_features(index, t, feats))
+            rec = self.slam.add_frame_features(index, t, feats)
+            if self.on_record is not None:
+                self.on_record(rec, feats)
+            records.append(rec)
         if self._error is not None:
             raise self._error
         return records
@@ -120,7 +127,10 @@ class PipelinedRunner:
             if item is _SENTINEL:
                 break
             index, t, feats = item
-            records.append(self.slam.add_frame_features(index, t, feats))
+            rec = self.slam.add_frame_features(index, t, feats)
+            if self.on_record is not None:
+                self.on_record(rec, feats)
+            records.append(rec)
         if self._error is not None:
             raise self._error
         return records

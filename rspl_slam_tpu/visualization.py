@@ -16,7 +16,7 @@ import threading
 import numpy as np
 
 __all__ = ["draw_features", "save_ply_points", "save_ply_lines",
-           "save_trajectory_png", "AsyncDumper"]
+           "save_trajectory_png", "AsyncDumper", "FramePublisher"]
 
 
 def _color_for_track(tid: int):
@@ -139,6 +139,76 @@ class AsyncDumper:
         except queue.Full:
             pass
 
+    def submit_critical(self, fn, *args):
+        """Blocking: for items that must not be dropped (pose stream —
+        the reference's publisher queues are unbounded,
+        thread_publisher.h:30-68). Cheap writers only."""
+        self.q.put((fn, args))
+
     def close(self):
         self.q.put(None)
         self._thread.join(timeout=5)
+
+
+def _quat_from_rot_np(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix → quaternion (w, x, y, z), pure numpy so the pose
+    stream never dispatches to the device."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                         (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+    q = np.empty(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+class FramePublisher:
+    """Per-frame observability — the counterpart of the reference's feature
+    overlay + frame pose publishers (ros_publisher.cc:48-93, PublishFrame at
+    map_builder.cc:238): every tracked frame appends its pose to a TUM
+    stream and (every ``overlay_stride``-th frame) dumps a feature/line
+    overlay PNG, all on the AsyncDumper thread so visualization never
+    backpressures tracking."""
+
+    def __init__(self, out_dir: str, overlay_stride: int = 1,
+                 maxsize: int = 8):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.stride = max(1, overlay_stride)
+        self.dumper = AsyncDumper(maxsize=maxsize)
+        self.pose_path = os.path.join(out_dir, "poses.txt")
+        open(self.pose_path, "w").close()
+        self.n_published = 0
+
+    # signature matches PipelinedRunner's on_record hook
+    def __call__(self, rec, feats):
+        self.publish(rec, feats)
+
+    def publish(self, rec, feats):
+        self.n_published += 1
+        self.dumper.submit_critical(self._append_pose, rec.time, rec.Twc.copy())
+        img = getattr(feats, "image", None)
+        if img is not None and rec.frame_id % self.stride == 0:
+            self.dumper.submit(self._overlay, rec.frame_id, feats)
+
+    def _append_pose(self, t, Twc):
+        w, x, y, z = _quat_from_rot_np(Twc[:3, :3])
+        tx, ty, tz = Twc[:3, 3]
+        with open(self.pose_path, "a") as f:
+            f.write(f"{t:.9f} {tx:.9f} {ty:.9f} {tz:.9f} "
+                    f"{x:.9f} {y:.9f} {z:.9f} {w:.9f}\n")
+
+    def _overlay(self, fid, feats):
+        img = draw_features(feats.image, feats.xy, feats.valid,
+                            lines=feats.lines, line_valid=feats.line_valid)
+        save_png(os.path.join(self.out_dir, f"frame_{fid:06d}.png"), img)
+
+    def close(self):
+        self.dumper.close()
