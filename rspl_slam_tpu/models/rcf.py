@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["init_params", "load_torch_weights", "edge_map"]
+__all__ = ["init_params", "load_torch_weights", "edge_map", "edge_logits"]
 
 # (stage, convs): VGG16 layout with dilation-free convs; stage 5 pool has
 # stride 1 in RCF (keeps 1/8 resolution), per the public implementation.
@@ -39,8 +39,16 @@ _STAGES = [
 _SIDE_CH = 21
 
 
-def init_params(key: jax.Array, dtype=jnp.float32) -> dict:
+def init_params(key: jax.Array, dtype=jnp.float32,
+                width_mult: float = 1.0) -> dict:
+    """``width_mult`` scales every stage's channel count (min 8) — reduced
+    widths make synthetic pretraining (training/rcf_train.py) and CI cheap;
+    the architecture and edge_map are width-agnostic (shapes come from the
+    params). The public checkpoint requires width_mult=1."""
     params: dict = {}
+
+    def scale(c):
+        return c if width_mult == 1.0 else max(8, int(round(c * width_mult)))
 
     def conv_init(key, cin, cout, k):
         key, sub = jax.random.split(key)
@@ -51,9 +59,10 @@ def init_params(key: jax.Array, dtype=jnp.float32) -> dict:
 
     for sname, convs in _STAGES:
         for i, (cin, cout) in enumerate(convs):
-            key, p = conv_init(key, cin, cout, 3)
+            cin_s = cin if cin == 3 else scale(cin)
+            key, p = conv_init(key, cin_s, scale(cout), 3)
             params[f"{sname}_{i + 1}"] = p
-            key, p = conv_init(key, cout, _SIDE_CH, 1)
+            key, p = conv_init(key, scale(cout), _SIDE_CH, 1)
             params[f"{sname}_{i + 1}_down"] = p
         key, p = conv_init(key, _SIDE_CH, 1, 1)
         params[f"{sname}_score"] = p
@@ -119,8 +128,8 @@ def _upsample_bilinear(x, H, W):
 
 
 @partial(jax.jit, static_argnames=("compute_dtype",))
-def edge_map(params: dict, images: jnp.ndarray, compute_dtype=jnp.bfloat16):
-    """images (B, H, W) grayscale in [0, 1] → edge probability (B, H, W).
+def edge_logits(params: dict, images: jnp.ndarray, compute_dtype=jnp.bfloat16):
+    """images (B, H, W) grayscale in [0, 1] → fused edge logits (B, H, W).
 
     Internally scales to 0..255 and replicates to 3 channels to match the
     reference's feeding convention (rcf.cpp:161-192).
@@ -143,4 +152,11 @@ def edge_map(params: dict, images: jnp.ndarray, compute_dtype=jnp.bfloat16):
         if sname != "conv5":
             x = _pool2(x, 2 if sname != "conv4" else 1)
     fused = _conv(jnp.concatenate(side_scores, -1), params["fuse"], compute_dtype)
-    return jax.nn.sigmoid(fused[..., 0])
+    return fused[..., 0]
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def edge_map(params: dict, images: jnp.ndarray, compute_dtype=jnp.bfloat16):
+    """images (B, H, W) grayscale in [0, 1] → edge probability (B, H, W)
+    (sigmoid of the fused side-output score — "output 230", rcf.cpp:137)."""
+    return jax.nn.sigmoid(edge_logits(params, images, compute_dtype))

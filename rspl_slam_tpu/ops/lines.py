@@ -50,7 +50,7 @@ __all__ = [
 @partial(
     jax.jit,
     static_argnames=("max_segments", "num_angles", "num_rho", "max_edge_pixels",
-                     "num_bins"),
+                     "num_bins", "runs_per_peak"),
 )
 def detect_line_segments(
     edge: jnp.ndarray,  # (H, W) edge probability in [0, 1]
@@ -63,13 +63,19 @@ def detect_line_segments(
     inlier_dist: float = 1.5,
     min_length: float = 10.0,
     max_gap_bins: int = 2,
+    runs_per_peak: int = 2,
 ):
-    """Returns (segments (S, 4) [x1,y1,x2,y2], valid (S,), strength (S,)).
+    """Returns (segments (S, 4) [x1,y1,x2,y2], valid (S,), strength (S,))
+    with S = ``max_segments``, sorted by segment length descending.
 
-    One segment per retained Hough peak: the longest run of occupied
-    projection bins among edge pixels within ``inlier_dist`` of the peak
-    line (gaps ≤ ``max_gap_bins`` bins are bridged, mirroring FLD's pixel
-    gap tolerance/distance_threshold).
+    Up to ``runs_per_peak`` segments per retained Hough peak: the longest
+    runs of occupied projection bins among edge pixels within
+    ``inlier_dist`` of the peak line (gaps ≤ ``max_gap_bins`` bins are
+    bridged, mirroring FLD's pixel gap tolerance/distance_threshold).
+    Multiple runs matter on real edge maps, where two collinear segments
+    (e.g. a door frame interrupted by a poster) share one Hough peak —
+    emitting only the longest run would silently drop the second
+    (line_processor.cc's FLD chases each separately).
     """
     H, W = edge.shape
     f32 = jnp.float32
@@ -140,34 +146,63 @@ def detect_line_segments(
         proj = -xs * s + ys * c  # position along the line, in [-diag, diag]
         pbin = jnp.clip(((proj + diag) / bin_len).astype(jnp.int32), 0, num_bins - 1)
         occ = jax.ops.segment_sum(inl.astype(f32), pbin, num_segments=num_bins) > 0
-        # bridge small gaps: dilate by max_gap_bins then find longest run
+        # bridge small gaps: dilate by max_gap_bins then find longest runs
         occ_d = occ
         for _ in range(max_gap_bins):
             occ_d = occ_d | jnp.roll(occ_d, 1) | jnp.roll(occ_d, -1)
+
         # longest run via cumulative-reset: run[i] = run[i-1]+1 if occ else 0
         def scan_fn(carry, o):
             run = jnp.where(o, carry + 1, 0)
             return run, run
 
-        _, runs = jax.lax.scan(scan_fn, jnp.asarray(0, jnp.int32),
-                               occ_d.astype(jnp.int32))
-        end_bin = jnp.argmax(runs)
-        run_len = runs[end_bin]
-        start_bin = end_bin - run_len + 1
-        # trim the dilation padding back off the run ends
-        start_bin = start_bin + max_gap_bins
-        end_bin = end_bin - max_gap_bins
-        s0 = start_bin.astype(f32) * bin_len - diag
-        s1 = end_bin.astype(f32) * bin_len - diag
-        # endpoints: ρ·n̂ + s·d̂ with n̂ = (c, s), d̂ = (−s, c)
-        p0 = jnp.stack([rho * c - s0 * s, rho * s + s0 * c])
-        p1 = jnp.stack([rho * c - s1 * s, rho * s + s1 * c])
-        length = (s1 - s0)
-        valid = ok & (length >= min_length)
-        return jnp.concatenate([p0, p1]), valid, length
+        bins = jnp.arange(num_bins)
+        segs_p, valids_p, lens_p = [], [], []
+        for _ in range(runs_per_peak):
+            _, runs = jax.lax.scan(scan_fn, jnp.asarray(0, jnp.int32),
+                                   occ_d.astype(jnp.int32))
+            end_bin = jnp.argmax(runs)
+            run_len = runs[end_bin]
+            start_bin = end_bin - run_len + 1
+            # remove this run before extracting the next-longest one
+            occ_d = occ_d & ~((bins >= start_bin) & (bins <= end_bin))
+            # trim the dilation padding back off the run ends
+            sb = start_bin + max_gap_bins
+            eb = end_bin - max_gap_bins
+            s0 = sb.astype(f32) * bin_len - diag
+            s1 = eb.astype(f32) * bin_len - diag
+            # endpoints: ρ·n̂ + s·d̂ with n̂ = (c, s), d̂ = (−s, c)
+            p0 = jnp.stack([rho * c - s0 * s, rho * s + s0 * c])
+            p1 = jnp.stack([rho * c - s1 * s, rho * s + s1 * c])
+            length = (s1 - s0)
+            segs_p.append(jnp.concatenate([p0, p1]))
+            valids_p.append(ok & (length >= min_length))
+            lens_p.append(length)
+        return (jnp.stack(segs_p), jnp.stack(valids_p), jnp.stack(lens_p))
 
     segs, valid, lengths = jax.vmap(one_peak)(t_idx, r_idx, peak_ok)
-    return segs, valid, lengths
+    segs = segs.reshape(-1, 4)
+    valid = valid.reshape(-1)
+    lengths = lengths.reshape(-1)
+    # dedup: TLS refinement snaps neighboring Hough peaks onto the same
+    # physical line, so many candidates are near-identical copies — keep
+    # only the first of each endpoint-coincident group, else top-k-by-length
+    # fills the output with duplicates and crowds genuine segments out
+    e0 = segs[:, :2]
+    e1 = segs[:, 2:]
+
+    def pair_d(a, b):
+        return jnp.linalg.norm(a[:, None] - b[None], axis=-1)
+
+    d_same = jnp.maximum(pair_d(e0, e0), pair_d(e1, e1))
+    d_flip = jnp.maximum(pair_d(e0, e1), pair_d(e1, e0))
+    close = jnp.minimum(d_same, d_flip) < 3.0
+    idx = jnp.arange(segs.shape[0])
+    dup = jnp.any(close & valid[None, :] & (idx[None, :] < idx[:, None]), 1)
+    # keep the max_segments longest distinct valid candidates (stable shape)
+    score = jnp.where(valid & ~dup, lengths, -1.0)
+    _, order = jax.lax.top_k(score, max_segments)
+    return segs[order], valid[order] & ~dup[order], lengths[order]
 
 
 # ---------------------------------------------------------------------------
