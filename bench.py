@@ -1,9 +1,21 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end per-frame SLAM compute (tracking + amortized
-local BA) at EuRoC scale on one chip — batched SuperPoint on the stereo pair, ONE batched SuperGlue call
-covering stereo + temporal matching (B=2), and the 4×10 pose-only LM.
+"""Benchmark: end-to-end per-frame SLAM compute on one chip, FULL
+point-line stack — the reference's hot loop is RCF×2 + SuperPoint +
+SuperGlue + FLD per frame plus pose LM and amortized local BA
+(map_builder.cc:98-122, 187-262); that is what is timed here:
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- device per frame: RCF edge maps for the stereo pair, Hough segment
+  detection on both edge maps, batched SuperPoint on the pair, ONE batched
+  SuperGlue call covering stereo + temporal matching, 4×10 pose-only LM;
+- device per keyframe (≈ every 10th frame, amortized): point+line local
+  BA (Schur, Huber IRLS, 10→gate→5);
+- host per frame: segment merge/filter, point-to-line assignment, stereo
+  line vote-matching (numpy bookkeeping, line_processor.cc:492-665);
+- host per keyframe (amortized): keyframe insertion + BA-window gather.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+``value`` is full-stack frames/s/chip; points-only fps and the per-stage
+split ride along as extra keys.
 
 Baseline note: the reference repo publishes no numbers (BASELINE.md). The
 upstream AirVO system (TensorRT on a desktop GPU) runs ~30 fps end-to-end;
@@ -35,26 +47,27 @@ def main():
     from rspl_slam_tpu.backend.residuals import CameraIntrinsics
     from rspl_slam_tpu.config import (CameraConfig, SuperGlueConfig,
                                       SuperPointConfig)
-    from rspl_slam_tpu.models import superglue, superpoint
+    from rspl_slam_tpu.geometry import plucker
+    from rspl_slam_tpu.models import rcf, superglue, superpoint
+    from rspl_slam_tpu.ops import lines as lops
 
     cam = CameraConfig()  # EuRoC 752×480
     H, W = cam.image_height, cam.image_width
     K = 400  # EuRoC config keypoint budget
     NC = 256  # pose-solver constraint capacity
+    LMAX = 64  # segment budget per image (euroc line config)
     sp_cfg = SuperPointConfig(max_keypoints=K, keypoint_threshold=1e-4)
     sg_cfg = SuperGlueConfig(image_width=W, image_height=H)
     Ki = CameraIntrinsics(cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
 
     sp_params = superpoint.init_params(jax.random.PRNGKey(0))
     sg_params = superglue.init_params(jax.random.PRNGKey(1), sg_cfg)
+    rcf_params = rcf.init_params(jax.random.PRNGKey(2))
 
-    @jax.jit
-    def frame_step(images, ref_xy, ref_score, ref_desc, ref_valid,
+    def track_core(feats, ref_xy, ref_score, ref_desc, ref_valid,
                    Twc0, Xw, meas, stereo, valid):
-        """One tracking frame: extract stereo pair; match (left↔right) and
-        (left↔ref-keyframe) in ONE batched SuperGlue call; pose-only LM."""
-        feats = superpoint.extract(sp_params, images, sp_cfg)
-        # batch the two match problems: [left vs right, left vs ref]
+        """Stereo+temporal matching in ONE batched SuperGlue call, then the
+        pose-only LM. Returns (indices0, Tcw, live-scalar)."""
         q_xy = jnp.stack([feats.xy[0], feats.xy[0]])
         q_sc = jnp.stack([feats.score[0], feats.score[0]])
         q_d = jnp.stack([feats.desc[0], feats.desc[0]])
@@ -72,6 +85,39 @@ def main():
         out = pose_solver.optimize_pose(Ki, Twc0, Xw, meas_live, stereo, valid)
         live = (jnp.sum(feats.xy) + jnp.sum(res.mscores0)) * 1e-12
         return res.indices0, out.Tcw, live
+
+    @jax.jit
+    def frame_step_points(images, ref_xy, ref_score, ref_desc, ref_valid,
+                          Twc0, Xw, meas, stereo, valid):
+        feats = superpoint.extract(sp_params, images, sp_cfg)
+        return track_core(feats, ref_xy, ref_score, ref_desc, ref_valid,
+                          Twc0, Xw, meas, stereo, valid)
+
+    @jax.jit
+    def frame_step_full(images, ref_xy, ref_score, ref_desc, ref_valid,
+                        Twc0, Xw, meas, stereo, valid):
+        """Points path + the line front half: RCF on BOTH images (the
+        reference runs it twice per frame, map_builder.cc:98-105) and Hough
+        segment detection on both edge maps — downsampled ×2 first, exactly
+        like the production frontend and the reference's ×0.5 resize before
+        FLD (line_processor.cc:460-466)."""
+        edges = rcf.edge_map(rcf_params, images)
+        edges = jax.lax.reduce_window(
+            edges, -jnp.inf, jax.lax.max, (1, 2, 2), (1, 2, 2), "VALID"
+        )
+        segs_l, valid_l, _ = lops.detect_line_segments(
+            edges[0], max_segments=LMAX, min_length=10.0,
+            max_edge_pixels=2048)
+        segs_r, valid_r, _ = lops.detect_line_segments(
+            edges[1], max_segments=LMAX, min_length=10.0,
+            max_edge_pixels=2048)
+        feats = superpoint.extract(sp_params, images, sp_cfg)
+        idx, Tcw, live = track_core(
+            feats, ref_xy, ref_score, ref_desc, ref_valid,
+            Twc0, Xw, meas, stereo, valid)
+        live = live + (jnp.sum(segs_l) + jnp.sum(segs_r)
+                       + jnp.sum(valid_l) + jnp.sum(valid_r)) * 1e-12
+        return idx, Tcw, live
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(size=(2, H, W)).astype(np.float32))
@@ -95,26 +141,27 @@ def main():
     # tunneled device is dominated by dispatch RTT (~25 ms/call), and
     # block_until_ready does not reliably synchronize — so we chain ITERS
     # dependent frame steps inside ONE jit and materialize one scalar that
-    # every stage feeds (extract → match → pose; see `live` above —
-    # otherwise XLA prunes unused carry chains out of the scan and the
-    # "benchmark" times a fraction of the pipeline). The per-call dispatch
-    # floor is measured with a no-op jit and subtracted.
-    ITERS = 100
+    # every stage feeds (see `live` above — otherwise XLA prunes unused
+    # carry chains out of the scan and the "benchmark" times a fraction of
+    # the pipeline). The per-call dispatch floor is measured with a no-op
+    # jit and subtracted.
+    def chained(step, iters):
+        @jax.jit
+        def run(images, meas):
+            def body(carry, _):
+                im, ms = carry
+                idx, Tcw, live = step(
+                    im, ref_xy, ref_score, ref_desc, ref_valid,
+                    Twc0, Xw, ms, stereo, valid,
+                )
+                im2 = im + (idx[0, 0].astype(jnp.float32) + live) * 1e-9
+                ms2 = ms + (Tcw[0, 3] + live) * 1e-9
+                return (im2, ms2), Tcw[0, 3] + live
 
-    @jax.jit
-    def chained(images, meas):
-        def body(carry, _):
-            im, ms = carry
-            idx, Tcw, live = frame_step(
-                im, ref_xy, ref_score, ref_desc, ref_valid,
-                Twc0, Xw, ms, stereo, valid,
-            )
-            im2 = im + (idx[0, 0].astype(jnp.float32) + live) * 1e-9
-            ms2 = ms + (Tcw[0, 3] + live) * 1e-9
-            return (im2, ms2), Tcw[0, 3] + live
+            _, ts = jax.lax.scan(body, (images, meas), None, length=iters)
+            return ts.sum()
 
-        _, ts = jax.lax.scan(body, (images, meas), None, length=ITERS)
-        return ts.sum()
+        return run
 
     @jax.jit
     def noop(x):
@@ -125,16 +172,22 @@ def main():
         _timed(lambda: float(noop(jnp.zeros(())))) for _ in range(5)
     )
 
-    float(chained(images, meas))  # compile + warm
-    wall = min(_timed(lambda: float(chained(images, meas))) for _ in range(3))
-    dt_track = max(wall - rtt, 0.0) / ITERS
+    ITERS_P, ITERS_F = 100, 30
+    chain_p = chained(frame_step_points, ITERS_P)
+    chain_f = chained(frame_step_full, ITERS_F)
+    float(chain_p(images, meas))  # compile + warm
+    wall = min(_timed(lambda: float(chain_p(images, meas))) for _ in range(3))
+    dt_points = max(wall - rtt, 0.0) / ITERS_P
+    float(chain_f(images, meas))
+    wall = min(_timed(lambda: float(chain_f(images, meas))) for _ in range(3))
+    dt_full = max(wall - rtt, 0.0) / ITERS_F
 
-    # ---- amortized local BA (runs once per keyframe ≈ every 10th frame;
-    # the metric is frames/s for tracking + BA) -------------------------
+    # ---- amortized local BA with POINT AND LINE constraints (runs once per
+    # keyframe ≈ every 10th frame) --------------------------------------
     from rspl_slam_tpu.backend import local_ba
     from rspl_slam_tpu.backend.local_ba import BAProblem
 
-    F, Pn = 10, 512
+    F, Pn, Ln, Cl = 10, 512, 8, 16
     Cp = F * Pn // 2
     rngb = np.random.default_rng(1)
     pts = rngb.uniform([-3, -2, 2], [3, 2, 9], (Pn, 3))
@@ -149,16 +202,34 @@ def main():
         u = Ki.fx * Xc[0] / Xc[2] + Ki.cx
         v = Ki.fy * Xc[1] / Xc[2] + Ki.cy
         mb[c] = [u, v, u - Ki.bf / Xc[2]]
+    # 3D lines from endpoint pairs; constraints observe both endpoints
+    import jax.numpy as jnpp
+    ep_a = rngb.uniform([-2, -1.5, 3], [2, 1.5, 8], (Ln, 3))
+    ep_b = ep_a + rngb.uniform(-1, 1, (Ln, 3))
+    L6 = np.asarray(jax.vmap(plucker.from_endpoints)(
+        jnpp.asarray(ep_a), jnpp.asarray(ep_b)))
+    l_pose = (np.arange(Cl) % F).astype(np.int32)
+    l_line = (np.arange(Cl) % Ln).astype(np.int32)
+    l_eps = np.zeros((Cl, 2, 2))
+    l_eps_r = np.zeros((Cl, 2, 2))
+    for c in range(Cl):
+        T = Tcw_w[l_pose[c]]
+        for e, P3 in enumerate((ep_a[l_line[c]], ep_b[l_line[c]])):
+            Xc = T[:3, :3] @ P3 + T[:3, 3]
+            l_eps[c, e] = [Ki.fx * Xc[0] / Xc[2] + Ki.cx,
+                           Ki.fy * Xc[1] / Xc[2] + Ki.cy]
+            l_eps_r[c, e] = [l_eps[c, e, 0] - Ki.bf / Xc[2], l_eps[c, e, 1]]
     prob = BAProblem(
         Tcw=jnp.asarray(Tcw_w), pose_fixed=jnp.asarray(np.arange(F) == 0),
         points=jnp.asarray(pts + rngb.standard_normal((Pn, 3)) * 0.02),
-        lines=jnp.tile(jnp.asarray([0.0, 0, 1, 1, 0, 0]), (8, 1)),
+        lines=jnp.asarray(L6),
         p_pose=jnp.asarray(p_pose), p_point=jnp.asarray(p_point),
         p_meas=jnp.asarray(mb), p_stereo=jnp.ones(Cp, bool),
         p_valid=jnp.ones(Cp, bool),
-        l_pose=jnp.zeros(8, jnp.int32), l_line=jnp.zeros(8, jnp.int32),
-        l_eps=jnp.zeros((8, 2, 2)), l_eps_r=jnp.zeros((8, 2, 2)),
-        l_stereo=jnp.zeros(8, bool), l_valid=jnp.zeros(8, bool),
+        l_pose=jnp.asarray(l_pose), l_line=jnp.asarray(l_line),
+        l_eps=jnp.asarray(l_eps), l_eps_r=jnp.asarray(l_eps_r),
+        l_stereo=jnp.asarray(np.arange(Cl) % 2 == 0),
+        l_valid=jnp.ones(Cl, bool),
     )
     BA_REPS = 10  # one BA per ~10 tracked frames
 
@@ -174,15 +245,77 @@ def main():
 
     float(chained_ba(prob))  # compile + warm
     wall_ba = min(_timed(lambda: float(chained_ba(prob))) for _ in range(3))
-    dt_ba_amortized = max(wall_ba - rtt, 0.0) / BA_REPS / 10.0
+    dt_ba = max(wall_ba - rtt, 0.0) / BA_REPS / 10.0
 
-    fps = 1.0 / (dt_track + dt_ba_amortized)
+    # ---- host-side line bookkeeping per frame (numpy: merge/filter,
+    # point assignment, stereo vote matching — line_processor.cc:492-665) --
+    rngh = np.random.default_rng(3)
+    base = rngh.uniform([0, 0, 0, 0], [W, H, W, H], (40, 4)).astype(np.float32)
+    segs_host = np.concatenate([base, base + rngh.normal(0, 2, base.shape)])
+    xy_host = rngh.uniform(0, [W, H], (K, 2)).astype(np.float32)
+    valid_host = np.ones(K, bool)
+    i0_host = np.where(rngh.random(K) < 0.6, np.arange(K), -1)
+
+    def host_line_work():
+        out = []
+        for _ in range(2):  # left + right image
+            s = lops.filter_short_lines(segs_host, 30.0)
+            s = lops.merge_lines(s, 0.1, 15.0, 30.0)
+            s = lops.filter_short_lines(s, 60.0)
+            out.append(lops.assign_points_to_lines(s, xy_host, valid_host))
+        lops.match_lines(out[0], out[1], i0_host)
+
+    host_line_work()  # warm
+    dt_host_lines = min(_timed(host_line_work) for _ in range(5))
+
+    # ---- host keyframe path, amortized (insert + covisibility + BA-window
+    # gather at EuRoC scale) ---------------------------------------------
+    from rspl_slam_tpu.backend import map_store
+    from rspl_slam_tpu.config import PipelineConfig
+
+    m = map_store.MapStore(K, LMAX, PipelineConfig())
+    pt_ids = None
+    for kf in range(10):
+        Twc_h = np.eye(4)
+        Twc_h[0, 3] = 0.1 * kf
+        meas_h = np.zeros((K, 3), np.float32)
+        meas_h[:, :2] = rngh.uniform(0, 400, (K, 2))
+        meas_h[:, 2] = np.where(rngh.random(K) < 0.6, meas_h[:, 0] - 5.0, -1)
+        desc_h = rngh.standard_normal((K, 256)).astype(np.float16)
+        k = m.add_keyframe(kf, kf * 0.05, Twc_h, meas_h, np.ones(K, bool),
+                           desc_h, rngh.random(K).astype(np.float16),
+                           fixed=kf == 0)
+        if pt_ids is None:
+            pt_ids = m.new_mappoints_batch(rngh.uniform(-3, 3, (300, 3)),
+                                           desc_h[:300])
+        m.add_point_obs_batch(pt_ids, k, np.arange(300))
+        m.update_covisibility(k)
+    m.gather_ba_window(9, 10, 512, 16, 2048, 64)  # warm
+
+    def host_kf_work():
+        m.update_covisibility(9)
+        m.gather_ba_window(9, 10, 512, 16, 2048, 64)
+
+    dt_host_kf = min(_timed(host_kf_work) for _ in range(5))
+
+    dt_frame_full = dt_full + dt_ba + dt_host_lines + dt_host_kf / 10.0
+    dt_frame_points = dt_points + dt_ba
+    fps_full = 1.0 / dt_frame_full
+    fps_points = 1.0 / dt_frame_points
 
     print(json.dumps({
-        "metric": "tracking_ba_fps_per_chip",
-        "value": round(fps, 2),
+        "metric": "full_stack_fps_per_chip",
+        "value": round(fps_full, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(fps_full / 30.0, 3),
+        "points_only_fps": round(fps_points, 2),
+        "detail_ms": {
+            "device_full_per_frame": round(dt_full * 1e3, 3),
+            "device_points_per_frame": round(dt_points * 1e3, 3),
+            "ba_amortized": round(dt_ba * 1e3, 3),
+            "host_lines_per_frame": round(dt_host_lines * 1e3, 3),
+            "host_kf_amortized": round(dt_host_kf / 10.0 * 1e3, 3),
+        },
     }))
 
 

@@ -83,6 +83,10 @@ class LineDetectorConfig:
     ep_thr: float = 30.0  # endpoint gap threshold (pixels)
     max_lines: int = 128  # static line capacity per frame (TPU fixed shape)
     rcf_weights_path: str | None = None
+    # segment detection runs on a ×1/downsample edge map, endpoints scaled
+    # back up — the reference resizes ×0.5 before FLD and rescales ×2
+    # (line_processor.cc:460-466); 4× fewer pixels for the Hough stage
+    downsample: int = 2
 
 
 @dataclass(frozen=True)

@@ -17,6 +17,7 @@ drive it. Two implementations:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,15 @@ class FrameFeatures:
     line_has_right: np.ndarray | None = None  # (L,)
     line_members: np.ndarray | None = None  # (L, K) bool
     image: np.ndarray | None = None  # (H, W) rectified left image (viz only)
+
+
+@partial(jax.jit, static_argnames=("ds",))
+def _downsample_max(edges: jnp.ndarray, ds: int) -> jnp.ndarray:
+    """(B, H, W) edge maps → (B, H//ds, W//ds) by max-pooling (preserves
+    thin ridges where area-averaging would wash them out)."""
+    return jax.lax.reduce_window(
+        edges, -jnp.inf, jax.lax.max, (1, ds, ds), (1, ds, ds), "VALID"
+    )
 
 
 @jax.jit
@@ -183,13 +193,18 @@ class NeuralFrontend:
     def _extract_lines(self, imgs):
         """RCF edge maps → Hough segments → merge/filter, both images of the
         (2, H, W) rectified stack — ≙ RCF::infer + LineDetector::
-        LineExtractor (map_builder.cc:98-122, line_processor.cc:455-490)."""
+        LineExtractor (map_builder.cc:98-122, line_processor.cc:455-490).
+        Detection runs on a downsampled edge map with endpoints rescaled,
+        matching the reference's ×0.5 resize before FLD."""
         from rspl_slam_tpu.models import rcf
         from rspl_slam_tpu.ops import lines as lops
 
         ld = self.cfg.line_detector
         edges = rcf.edge_map(self.rcf_params, jnp.asarray(imgs),
                              self.compute_dtype)
+        ds = max(1, int(ld.downsample))
+        if ds > 1:
+            edges = _downsample_max(edges, ds)
         out = []
         for b in range(2):
             segs, valid, _ = lops.detect_line_segments(
@@ -197,7 +212,7 @@ class NeuralFrontend:
                 inlier_dist=float(ld.distance_threshold),
                 max_segments=ld.max_lines,
             )
-            segs = np.asarray(segs)[np.asarray(valid)]
+            segs = np.asarray(segs)[np.asarray(valid)] * ds
             if ld.do_merge:
                 segs = lops.filter_short_lines(segs, 30.0)
                 if len(segs):

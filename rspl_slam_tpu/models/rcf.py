@@ -142,12 +142,25 @@ def edge_logits(params: dict, images: jnp.ndarray, compute_dtype=jnp.bfloat16):
         # public RCF: pool4 has stride 1 and conv5 uses dilation 2 so stage 5
         # stays at 1/8 resolution with an enlarged receptive field
         dil = 2 if sname == "conv5" else 1
-        side_sum = None
+        # the per-conv 21-ch side branches and the stage score are all 1×1
+        # convs with NO nonlinearity between them, so score(Σ down_i(x_i))
+        # folds into Σ x_i·(W_down_i·w_score): one 1-ch map per conv instead
+        # of materializing (H, W, 21) f32 intermediates at full resolution
+        # (an HBM-bandwidth win; numerically identical up to f32 rounding)
+        ws = params[f"{sname}_score"]["w"]  # (1, 1, SIDE, 1)
+        score = None
+        bias = params[f"{sname}_score"]["b"].astype(jnp.float32)
         for i in range(len(convs)):
             x = relu(_conv(x, params[f"{sname}_{i + 1}"], compute_dtype, dil))
-            side = _conv(x, params[f"{sname}_{i + 1}_down"], compute_dtype)
-            side_sum = side if side_sum is None else side_sum + side
-        score = _conv(side_sum, params[f"{sname}_score"], compute_dtype)
+            pd = params[f"{sname}_{i + 1}_down"]
+            wf = jnp.einsum("abcs,abst->abct", pd["w"], ws)
+            contrib = _conv(x, {"w": wf, "b": jnp.zeros(1, wf.dtype)},
+                            compute_dtype)
+            score = contrib if score is None else score + contrib
+            bias = bias + pd["b"].astype(jnp.float32) @ ws[0, 0, :, 0].astype(
+                jnp.float32
+            )
+        score = score + bias
         side_scores.append(_upsample_bilinear(score, H, W))
         if sname != "conv5":
             x = _pool2(x, 2 if sname != "conv4" else 1)
