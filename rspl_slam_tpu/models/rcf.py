@@ -104,7 +104,12 @@ def load_torch_weights(path: str) -> dict:
     return params
 
 
-def _conv(x, p, compute_dtype, dilation=1):
+def _conv(x, p, compute_dtype, dilation=1, out_dtype=None):
+    """``out_dtype`` controls the materialized activation dtype: the MXU
+    accumulates in f32 either way, but trunk activations written back at
+    compute_dtype (bf16 on TPU) halve the HBM traffic of the full-res
+    stages — the memory-bound part of RCF. Score/fuse outputs stay f32."""
+    out = out_dtype or jnp.float32
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         p["w"].astype(compute_dtype),
@@ -112,9 +117,9 @@ def _conv(x, p, compute_dtype, dilation=1):
         "SAME",
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out,
     )
-    return y + p["b"].astype(jnp.float32)
+    return y + p["b"].astype(out)
 
 
 def _pool2(x, stride):
@@ -127,18 +132,93 @@ def _upsample_bilinear(x, H, W):
     return jax.image.resize(x, (x.shape[0], H, W, x.shape[3]), "bilinear")
 
 
-@partial(jax.jit, static_argnames=("compute_dtype",))
-def edge_logits(params: dict, images: jnp.ndarray, compute_dtype=jnp.bfloat16):
+def _side_weight(params, sname, i):
+    """Folded per-conv side weight: (W_down_i · w_score) as a (C,) vector
+    (all 1×1 convs with no nonlinearity between — see edge_logits)."""
+    ws = params[f"{sname}_score"]["w"]  # (1, 1, SIDE, 1)
+    wd = params[f"{sname}_{i + 1}_down"]["w"]  # (1, 1, C, SIDE)
+    return jnp.einsum("cs,s->c", wd[0, 0], ws[0, 0, :, 0])
+
+
+def _stage_bias(params, sname, n_convs):
+    ws = params[f"{sname}_score"]["w"][0, 0, :, 0].astype(jnp.float32)
+    bias = params[f"{sname}_score"]["b"].astype(jnp.float32)
+    for i in range(n_convs):
+        bias = bias + params[f"{sname}_{i + 1}_down"]["b"].astype(
+            jnp.float32
+        ) @ ws
+    return bias
+
+
+def _stem_pallas(params, x255, compute_dtype, interpret=False):
+    """Stages 1-2 through the fused Pallas conv path (channel-major rows →
+    one deep MXU matmul per row — ops/conv_stem_pallas.py). XLA's conv
+    emitter runs these large-spatial/few-channel layers at ~30 TFLOP/s on
+    v5e while stages 3-5 hit near-peak; this path closes that gap. RCF's
+    input is grayscale replicated ×3, so conv1_1 collapses to a cin=1 conv
+    with channel-summed weights. Returns (x_nhwc_quarter, [s1, s2])."""
+    from rspl_slam_tpu.ops.conv_stem_pallas import (conv3x3_cin1_nhcw,
+                                                    conv3x3_nhcw)
+
+    def pool_nhcw(t):
+        return jax.lax.reduce_window(
+            t, jnp.asarray(-jnp.inf, t.dtype), jax.lax.max,
+            (1, 2, 1, 2), (1, 2, 1, 2), "VALID",
+        )
+
+    def contrib(x_nhcw, sname, i):
+        wf = _side_weight(params, sname, i).astype(jnp.bfloat16)
+        return jnp.einsum("bhcw,c->bhw", x_nhcw, wf,
+                          preferred_element_type=jnp.float32)
+
+    p = params
+    w11 = p["conv1_1"]["w"].sum(axis=2, keepdims=True)  # replicated gray
+    x11 = conv3x3_cin1_nhcw(w11, p["conv1_1"]["b"], x255)  # (B, H, 64, W)
+    x12 = conv3x3_nhcw(x11, p["conv1_2"]["w"], p["conv1_2"]["b"],
+                       interpret=interpret)
+    s1 = (contrib(x11, "conv1", 0) + contrib(x12, "conv1", 1)
+          + _stage_bias(p, "conv1", 2))
+    xp = pool_nhcw(x12)
+    x21 = conv3x3_nhcw(xp, p["conv2_1"]["w"], p["conv2_1"]["b"],
+                       interpret=interpret)
+    x22 = conv3x3_nhcw(x21, p["conv2_2"]["w"], p["conv2_2"]["b"],
+                       interpret=interpret)
+    s2 = (contrib(x21, "conv2", 0) + contrib(x22, "conv2", 1)
+          + _stage_bias(p, "conv2", 2))
+    x = jnp.transpose(pool_nhcw(x22), (0, 1, 3, 2))  # NHWC quarter res
+    return x.astype(compute_dtype), [s1, s2]
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "use_pallas_stem"))
+def edge_logits(params: dict, images: jnp.ndarray, compute_dtype=jnp.bfloat16,
+                use_pallas_stem: bool | None = None):
     """images (B, H, W) grayscale in [0, 1] → fused edge logits (B, H, W).
 
     Internally scales to 0..255 and replicates to 3 channels to match the
     reference's feeding convention (rcf.cpp:161-192).
     """
     B, H, W = images.shape
-    x = (images * 255.0)[..., None].repeat(3, -1)
+    if use_pallas_stem is None:
+        # allowlist: Mosaic/TPU-only, inference-only (no VJP), full width
+        use_pallas_stem = (
+            compute_dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and params["conv1_1"]["w"].shape[3] == 64
+            and H % 4 == 0 and W % 4 == 0
+        )
     relu = jax.nn.relu
     side_scores = []
-    for sname, convs in _STAGES:
+    if use_pallas_stem:
+        x, stem_scores = _stem_pallas(params, images * 255.0, compute_dtype)
+        for s in stem_scores:
+            side_scores.append(
+                _upsample_bilinear(s[..., None], H, W)
+            )
+        stages = _STAGES[2:]
+    else:
+        x = (images * 255.0)[..., None].repeat(3, -1)
+        stages = _STAGES
+    for sname, convs in stages:
         # public RCF: pool4 has stride 1 and conv5 uses dilation 2 so stage 5
         # stays at 1/8 resolution with an enlarged receptive field
         dil = 2 if sname == "conv5" else 1
@@ -151,7 +231,8 @@ def edge_logits(params: dict, images: jnp.ndarray, compute_dtype=jnp.bfloat16):
         score = None
         bias = params[f"{sname}_score"]["b"].astype(jnp.float32)
         for i in range(len(convs)):
-            x = relu(_conv(x, params[f"{sname}_{i + 1}"], compute_dtype, dil))
+            x = relu(_conv(x, params[f"{sname}_{i + 1}"], compute_dtype, dil,
+                           out_dtype=compute_dtype))
             pd = params[f"{sname}_{i + 1}_down"]
             wf = jnp.einsum("abcs,abst->abct", pd["w"], ws)
             contrib = _conv(x, {"w": wf, "b": jnp.zeros(1, wf.dtype)},

@@ -82,7 +82,11 @@ def load_torch_weights(path: str) -> dict:
     return params
 
 
-def _conv(x, p, compute_dtype):
+def _conv(x, p, compute_dtype, out_dtype=None):
+    """MXU accumulates in f32 regardless; ``out_dtype`` picks the dtype the
+    activation is written back in — compute_dtype for trunk layers halves
+    HBM traffic, f32 (default) for head outputs feeding softmax/L2-norm."""
+    out = out_dtype or jnp.float32
     w = p["w"].astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
@@ -90,9 +94,9 @@ def _conv(x, p, compute_dtype):
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out,
     )
-    return y + p["b"].astype(jnp.float32)
+    return y + p["b"].astype(out)
 
 
 def _pool2(x):
@@ -131,19 +135,19 @@ def dense_heads(
         x = superpoint_stem(params, images)  # (B, H/4, W/4, 64) bf16 NHWC
     else:
         x = images[..., None]  # NHWC
-        x = relu(_conv(x, params["conv1a"], compute_dtype))
-        x = relu(_conv(x, params["conv1b"], compute_dtype))
+        x = relu(_conv(x, params["conv1a"], compute_dtype, compute_dtype))
+        x = relu(_conv(x, params["conv1b"], compute_dtype, compute_dtype))
         x = _pool2(x)
-        x = relu(_conv(x, params["conv2a"], compute_dtype))
-        x = relu(_conv(x, params["conv2b"], compute_dtype))
+        x = relu(_conv(x, params["conv2a"], compute_dtype, compute_dtype))
+        x = relu(_conv(x, params["conv2b"], compute_dtype, compute_dtype))
         x = _pool2(x)
-    x = relu(_conv(x, params["conv3a"], compute_dtype))
-    x = relu(_conv(x, params["conv3b"], compute_dtype))
+    x = relu(_conv(x, params["conv3a"], compute_dtype, compute_dtype))
+    x = relu(_conv(x, params["conv3b"], compute_dtype, compute_dtype))
     x = _pool2(x)
-    x = relu(_conv(x, params["conv4a"], compute_dtype))
-    x = relu(_conv(x, params["conv4b"], compute_dtype))
+    x = relu(_conv(x, params["conv4a"], compute_dtype, compute_dtype))
+    x = relu(_conv(x, params["conv4b"], compute_dtype, compute_dtype))
 
-    cPa = relu(_conv(x, params["convPa"], compute_dtype))
+    cPa = relu(_conv(x, params["convPa"], compute_dtype, compute_dtype))
     logits = _conv(cPa, params["convPb"], compute_dtype)  # (B, H/8, W/8, 65)
     probs = jax.nn.softmax(logits, axis=-1)[..., :64]  # drop dustbin
     Hc, Wc = H // 8, W // 8
@@ -151,7 +155,7 @@ def dense_heads(
     scores = probs.reshape(B, Hc, Wc, 8, 8)
     scores = jnp.transpose(scores, (0, 1, 3, 2, 4)).reshape(B, H, W)
 
-    cDa = relu(_conv(x, params["convDa"], compute_dtype))
+    cDa = relu(_conv(x, params["convDa"], compute_dtype, compute_dtype))
     desc = _conv(cDa, params["convDb"], compute_dtype)  # (B, Hc, Wc, 256)
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
     desc = jnp.transpose(desc, (0, 3, 1, 2))  # (B, C, Hc, Wc)

@@ -42,7 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3x3_nhcw", "conv1a_nhcw", "superpoint_stem"]
+__all__ = ["conv3x3_nhcw", "conv1a_nhcw", "conv3x3_cin1_nhcw",
+           "superpoint_stem"]
 
 _TH = 16  # output rows per grid step (pooled rows per tile = _TH/2 ≥ 8)
 
@@ -164,12 +165,21 @@ def conv3x3_nhcw(
 
 
 def conv1a_nhcw(params: dict, images: jnp.ndarray) -> jnp.ndarray:
-    """conv1a (cin=1) + ReLU emitting channel-major (B, H, 64, W) natively.
+    """SuperPoint conv1a: see :func:`conv3x3_cin1_nhcw`."""
+    return conv3x3_cin1_nhcw(params["conv1a"]["w"], params["conv1a"]["b"],
+                             images)
 
-    Computed as a batched (64, 9)·(9, W) einsum over (B, H) — its natural
+
+def conv3x3_cin1_nhcw(w: jnp.ndarray, b: jnp.ndarray,
+                      images: jnp.ndarray) -> jnp.ndarray:
+    """3×3 conv with cin=1 (+ReLU) emitting channel-major (B, H, C, W)
+    natively. ``w`` (3, 3, 1, C), ``images`` (B, H, W).
+
+    Computed as a batched (C, 9)·(9, W) einsum over (B, H) — its natural
     output order IS channel-major, so no relayout is ever materialized
     (an XLA NHWC conv followed by a transpose costs ~2 ms at 480×752×64)."""
     B, H, W = images.shape
+    C = w.shape[3]
     img = images.astype(jnp.bfloat16)
     z = jnp.zeros_like(img[:, :1, :])
     rows = {-1: jnp.concatenate([z, img[:, :-1, :]], 1),
@@ -183,10 +193,10 @@ def conv1a_nhcw(params: dict, images: jnp.ndarray) -> jnp.ndarray:
         taps.append(r)
         taps.append(jnp.concatenate([r[:, :, 1:], zc], 2))
     patches = jnp.stack(taps, axis=2)  # (B, H, 9, W), tap k = (a·3+b)
-    w1a = params["conv1a"]["w"].reshape(9, 64).T.astype(jnp.bfloat16)  # (64,9)
-    y = jnp.einsum("ck,bhkw->bhcw", w1a, patches,
+    wf = w.reshape(9, C).T.astype(jnp.bfloat16)  # (C, 9)
+    y = jnp.einsum("ck,bhkw->bhcw", wf, patches,
                    preferred_element_type=jnp.float32)
-    y = y + params["conv1a"]["b"].astype(jnp.float32)[None, None, :, None]
+    y = y + b.astype(jnp.float32)[None, None, :, None]
     return jax.nn.relu(y).astype(jnp.bfloat16)
 
 
