@@ -560,6 +560,45 @@ class MapStore:
                 x, y, z = self.pt_pos[pt]
                 f.write(f"{pt} {x:.6f} {y:.6f} {z:.6f}\n")
 
+    def apply_pose_corrections(self, new_Twc: np.ndarray):
+        """Apply globally-optimized keyframe poses (backend/pose_graph.py)
+        and rigidly re-anchor landmarks: each mappoint/mapline moves with
+        the correction of its FIRST observing keyframe
+        (X' = Twc_new · Tcw_old · X). The reference has no global backend;
+        this is the standard PGO map update."""
+        n = self.n_kf
+        old_Twc = self.kf_pose[:n].copy()
+        corr = np.einsum(
+            "kij,kjl->kil", new_Twc[:n], np.linalg.inv(old_Twc)
+        )  # (n, 4, 4) world-to-world per keyframe
+        self.kf_pose[:n] = new_Twc[:n]
+        # mappoints: anchor = first observation's keyframe
+        pts = np.nonzero((self.pt_status[: self.n_pt] != PT_BAD)
+                         & (self.pt_obs_n[: self.n_pt] > 0))[0]
+        if len(pts):
+            anchor = self.pt_obs_kf[pts, 0]
+            okp = (anchor >= 0) & (anchor < n)
+            pts = pts[okp]
+            anchor = anchor[okp]
+            X = self.pt_pos[pts]
+            R = corr[anchor, :3, :3]
+            t = corr[anchor, :3, 3]
+            self.pt_pos[pts] = np.einsum("kij,kj->ki", R, X) + t
+        # maplines: endpoints move rigidly; Plücker L' = [R n + t̂ R d; R d]
+        lns = np.nonzero(self.ln_valid[: self.n_ln]
+                         & (self.ln_obs_n[: self.n_ln] > 0))[0]
+        for ln in lns:
+            a = self.ln_obs_kf[ln, 0]
+            if not (0 <= a < n):
+                continue
+            Rc = corr[a, :3, :3]
+            tc = corr[a, :3, 3]
+            if self.ln_has_endpoints[ln]:
+                self.ln_endpoints[ln] = self.ln_endpoints[ln] @ Rc.T + tc
+            nvec, dvec = self.ln_plucker[ln, :3], self.ln_plucker[ln, 3:]
+            nd = Rc @ nvec + np.cross(tc, Rc @ dvec)
+            self.ln_plucker[ln] = np.concatenate([nd, Rc @ dvec])
+
     def keyframe_trajectory(self):
         """(times, poses) of valid keyframes in insertion order — feeds the
         TUM writer (SaveKeyframeTrajectory, map.cc:1007-1024)."""

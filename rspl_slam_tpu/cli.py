@@ -139,6 +139,11 @@ def cmd_run(args):
     print(f"processed {n} frames in {wall:.1f}s ({n / wall:.1f} fps)")
     if publisher is not None:
         publisher.close()
+    if getattr(args, "pose_graph", False):
+        cost = slam.run_pose_graph()
+        if cost is not None:
+            print(f"pose graph: optimized {slam.map.n_kf} keyframes "
+                  f"(final cost {cost:.3e})")
     slam.save_trajectory(args.traj_path)
     print(f"trajectory → {args.traj_path}")
     if args.save_map:
@@ -331,6 +336,9 @@ def main(argv=None):
                     default="superglue",
                     help="cosine = mutual-NN on descriptors (works with "
                          "untrained weights)")
+    pr.add_argument("--pose-graph", dest="pose_graph", action="store_true",
+                    help="run global pose-graph optimization at the end "
+                         "(a global backend the reference lacks)")
     pr.add_argument("-v", "--verbose", action="store_true")
     pr.set_defaults(fn=cmd_run)
 

@@ -577,5 +577,29 @@ class SLAMSystem:
             if bool(ok):
                 self.map.ln_endpoints[ln] = np.asarray(eps)
 
+    # ------------------------------------------------------------ pose graph
+    def run_pose_graph(self, min_weight: int = 10, iters: int = 20):
+        """Global pose-graph optimization over all keyframes (a capability
+        the reference lacks — its consistency ends at the local BA window).
+        Builds relative-pose constraints from covisibility + odometry,
+        solves with the jitted LM PGO (backend/pose_graph.py), and rigidly
+        re-anchors landmarks to the corrected keyframe poses."""
+        from rspl_slam_tpu.backend import pose_graph as pg
+
+        m = self.map
+        if m.n_kf < 3:
+            return None
+        t0 = time.perf_counter()
+        prob = pg.relative_constraints_from_covisibility(
+            m.kf_pose, np.maximum(m.covis, m.covis.T), m.n_kf,
+            min_weight=min_weight,
+        )
+        res = pg.optimize_pose_graph(prob, iters=iters)
+        new_Twc = np.linalg.inv(np.asarray(res.Tcw))
+        m.apply_pose_corrections(new_Twc)
+        self._last_Twc = m.kf_pose[m.n_kf - 1].copy()
+        self._t("pose_graph", t0)
+        return float(res.cost)
+
     def _t(self, name, t0):
         self.timings.setdefault(name, []).append(time.perf_counter() - t0)
