@@ -298,16 +298,37 @@ def main():
 
     dt_host_kf = min(_timed(host_kf_work) for _ in range(5))
 
+    # ---- pipelined steady state: host work overlaps device compute -------
+    # The production driver (pipeline.PipelinedRunner, the CLI default) runs
+    # host bookkeeping for frame i while the device computes frame i+1 —
+    # the same overlap as the reference's extraction/tracking threads
+    # (map_builder.cc:48-49). Measure it rather than assume it: dispatch the
+    # chained device graph asynchronously, run the per-frame host work for
+    # as many frames on the Python thread, then block on the device result.
+    def overlapped():
+        fut = chain_f(images, meas)  # async dispatch
+        for _ in range(ITERS_F):
+            host_line_work()
+            m.update_covisibility(9)  # keyframe host path ≈ every 10th
+        float(fut)  # materialize → join
+
+    overlapped()  # warm
+    wall_ov = min(_timed(overlapped) for _ in range(3))
+    # per frame: overlapped(extract+track device ∥ line/map host) + BA
+    dt_frame_pipe = max(wall_ov - rtt, 0.0) / ITERS_F + dt_ba + dt_host_kf / 10.0
+
     dt_frame_full = dt_full + dt_ba + dt_host_lines + dt_host_kf / 10.0
     dt_frame_points = dt_points + dt_ba
+    fps_pipe = 1.0 / dt_frame_pipe
     fps_full = 1.0 / dt_frame_full
     fps_points = 1.0 / dt_frame_points
 
     print(json.dumps({
         "metric": "full_stack_fps_per_chip",
-        "value": round(fps_full, 2),
+        "value": round(fps_pipe, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps_full / 30.0, 3),
+        "vs_baseline": round(fps_pipe / 30.0, 3),
+        "serial_fps": round(fps_full, 2),
         "points_only_fps": round(fps_points, 2),
         "detail_ms": {
             "device_full_per_frame": round(dt_full * 1e3, 3),
@@ -315,6 +336,7 @@ def main():
             "ba_amortized": round(dt_ba * 1e3, 3),
             "host_lines_per_frame": round(dt_host_lines * 1e3, 3),
             "host_kf_amortized": round(dt_host_kf / 10.0 * 1e3, 3),
+            "pipelined_per_frame": round(dt_frame_pipe * 1e3, 3),
         },
     }))
 

@@ -21,7 +21,9 @@
 #include <png.h>
 #include <jpeglib.h>
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -187,7 +189,200 @@ struct Loader {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Line segment merging — native port of the reference's MergeLines
+// (line_processor.cc:492-665). Identical semantics to the numpy
+// implementation in rspl_slam_tpu/ops/lines.py::merge_lines (pair tests →
+// union-find components → longest-first sub-cluster split → sequential
+// length-weighted pairwise fold); this runs on the host once per image in
+// the hot loop, where numpy's per-op dispatch overhead dominates.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Seg {
+  double x1, y1, x2, y2;
+};
+
+inline void merge_two(const double* a, const double* b, double* out) {
+  const double ax = a[0], ay = a[1], bx = a[2], by = a[3];
+  const double cx = b[0], cy = b[1], dx = b[2], dy = b[3];
+  const double dlix = bx - ax, dliy = by - ay;
+  const double dljx = dx - cx, dljy = dy - cy;
+  const double li = std::hypot(dlix, dliy), lj = std::hypot(dljx, dljy);
+  const double xg = (li * (ax + bx) + lj * (cx + dx)) / (2.0 * (li + lj));
+  const double yg = (li * (ay + by) + lj * (cy + dy)) / (2.0 * (li + lj));
+  const double thi = dlix == 0.0 ? M_PI / 2 : std::atan(dliy / dlix);
+  const double thj = dljx == 0.0 ? M_PI / 2 : std::atan(dljy / dljx);
+  double th;
+  if (std::fabs(thi - thj) <= M_PI / 2) {
+    th = (li * thi + lj * thj) / (li + lj);
+  } else {
+    const double tmp = thj - M_PI * (thj / std::fabs(thj));
+    th = (li * thi + lj * tmp) / (li + lj);
+  }
+  const double ct = std::cos(th), st = std::sin(th);
+  const double pa = (ay - yg) * st + (ax - xg) * ct;
+  const double pb = (by - yg) * st + (bx - xg) * ct;
+  const double pc = (cy - yg) * st + (cx - xg) * ct;
+  const double pd = (dy - yg) * st + (dx - xg) * ct;
+  const double lo = std::min(std::min(pa, pb), std::min(pc, pd));
+  const double hi = std::max(std::max(pa, pb), std::max(pc, pd));
+  out[0] = lo * ct + xg;
+  out[1] = lo * st + yg;
+  out[2] = hi * ct + xg;
+  out[3] = hi * st + yg;
+}
+
+struct UF {
+  std::vector<int> p;
+  explicit UF(int n) : p(n) { for (int i = 0; i < n; ++i) p[i] = i; }
+  int find(int x) {
+    while (p[x] != x) { p[x] = p[p[x]]; x = p[x]; }
+    return x;
+  }
+  void unite(int a, int b) {
+    int ra = find(a), rb = find(b);
+    if (ra != rb) p[rb] = ra;
+  }
+};
+
+}  // namespace
+
 extern "C" {
+
+// segs: (n, 4) float64 row-major; out: caller-allocated (n, 4). Returns the
+// number of merged segments written to out (≤ n), or -1 on bad input.
+int rspl_merge_lines(const double* segs, int n, double angle_thr,
+                     double distance_thr, double ep_thr, double* out) {
+  if (n < 0) return -1;
+  if (n == 0) return 0;
+  if (n == 1) {
+    std::memcpy(out, segs, 4 * sizeof(double));
+    return 1;
+  }
+  std::vector<double> ang(n), len(n), A(n), B(n), C(n), D(n);
+  std::vector<double> mx(n), my(n);
+  // canonical axis-sorted endpoints per axis: [axis][seg][end {min,max}][xy]
+  std::vector<double> P0x(2 * n), P0y(2 * n), P1x(2 * n), P1y(2 * n);
+  for (int i = 0; i < n; ++i) {
+    const double x1 = segs[4 * i], y1 = segs[4 * i + 1];
+    const double x2 = segs[4 * i + 2], y2 = segs[4 * i + 3];
+    const double ddx = x2 - x1, ddy = y2 - y1;
+    ang[i] = ddx == 0.0 ? M_PI / 2 : std::atan(ddy / ddx);
+    len[i] = std::hypot(ddx, ddy);
+    A[i] = ddy;
+    B[i] = -ddx;
+    C[i] = x2 * y1 - x1 * y2;
+    D[i] = std::max(std::hypot(A[i], B[i]), 1e-9);
+    mx[i] = (x1 + x2) / 2;
+    my[i] = (y1 + y2) / 2;
+    for (int axis = 0; axis < 2; ++axis) {
+      const double e1 = axis == 0 ? x1 : y1, e2 = axis == 0 ? x2 : y2;
+      const bool swap = e2 < e1;
+      P0x[axis * n + i] = swap ? x2 : x1;
+      P0y[axis * n + i] = swap ? y2 : y1;
+      P1x[axis * n + i] = swap ? x1 : x2;
+      P1y[axis * n + i] = swap ? y1 : y2;
+    }
+  }
+  // rank in stable angle sort (ties broken by index)
+  std::vector<int> order(n), pos(n);
+  for (int i = 0; i < n; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int a, int b) { return ang[a] < ang[b]; });
+  for (int r = 0; r < n; ++r) pos[order[r]] = r;
+
+  const double ep2 = ep_thr * ep_thr;
+  auto axis_cond = [&](int i, int j, int axis) -> bool {
+    const int oi = axis * n + i, oj = axis * n + j;
+    const double p1i = axis == 0 ? P1x[oi] : P1y[oi];
+    const double p1j = axis == 0 ? P1x[oj] : P1y[oj];
+    const bool i_first = p1i <= p1j;
+    const double fex = i_first ? P1x[oi] : P1x[oj];
+    const double fey = i_first ? P1y[oi] : P1y[oj];
+    const double ssx = i_first ? P0x[oj] : P0x[oi];
+    const double ssy = i_first ? P0y[oj] : P0y[oi];
+    const bool overlap = (axis == 0 ? fex : fey) >= (axis == 0 ? ssx : ssy);
+    const double gx = ssx - fex, gy = ssy - fey;
+    return overlap || (gx * gx + gy * gy) < ep2;
+  };
+
+  std::vector<uint8_t> ok((size_t)n * n, 0);
+  UF uf(n);
+  for (int i = 0; i < n; ++i) {
+    const bool to_x_i = std::fabs(ang[i]) < M_PI / 4;
+    for (int j = i + 1; j < n; ++j) {
+      double dA = std::fabs(ang[i] - ang[j]);
+      dA = std::min(dA, M_PI - dA);
+      if (dA > angle_thr) continue;
+      const double dij =
+          std::fabs(mx[i] * A[j] + my[i] * B[j] + C[j]) / D[j];
+      const double dji =
+          std::fabs(mx[j] * A[i] + my[j] * B[i] + C[i]) / D[i];
+      if (dij > distance_thr && dji > distance_thr) continue;
+      // endpoint overlap/gap along the dominant axis of the angle-earlier
+      // line (numpy: row_cond follows to_x of the earlier-ranked segment)
+      const int e = pos[i] <= pos[j] ? i : j;
+      const bool to_x = e == i ? to_x_i : std::fabs(ang[j]) < M_PI / 4;
+      if (!axis_cond(i, j, to_x ? 0 : 1)) continue;
+      ok[(size_t)i * n + j] = ok[(size_t)j * n + i] = 1;
+      uf.unite(i, j);
+    }
+  }
+
+  // components in first-seen-index order
+  std::vector<int> root_order;
+  std::vector<std::vector<int>> comps;
+  std::vector<int> comp_of(n, -1);
+  for (int i = 0; i < n; ++i) {
+    const int r = uf.find(i);
+    if (comp_of[r] < 0) {
+      comp_of[r] = (int)comps.size();
+      comps.emplace_back();
+    }
+    comps[comp_of[r]].push_back(i);
+  }
+
+  int m = 0;
+  std::vector<int> sub;
+  auto fold_sub = [&](const std::vector<int>& s) {
+    double cur[4] = {segs[4 * s[0]], segs[4 * s[0] + 1], segs[4 * s[0] + 2],
+                     segs[4 * s[0] + 3]};
+    for (size_t k = 1; k < s.size(); ++k) {
+      const double* b = &segs[4 * s[k]];
+      double nxt[4];
+      merge_two(cur, b, nxt);
+      std::memcpy(cur, nxt, sizeof(cur));
+    }
+    std::memcpy(&out[4 * m], cur, sizeof(cur));
+    ++m;
+  };
+  std::vector<uint8_t> clustered(n, 0);
+  for (auto& members : comps) {
+    if (members.size() <= 2) {
+      fold_sub(members);
+      continue;
+    }
+    std::vector<int> cl = members;
+    std::stable_sort(cl.begin(), cl.end(),
+                     [&](int a, int b) { return len[a] > len[b]; });
+    std::fill(clustered.begin(), clustered.end(), 0);
+    for (int li : cl) {
+      if (clustered[li]) continue;
+      sub.clear();
+      sub.push_back(li);
+      for (int j = 0; j < n; ++j) {
+        if (ok[(size_t)li * n + j]) {
+          sub.push_back(j);
+          clustered[j] = 1;
+        }
+      }
+      fold_sub(sub);
+    }
+  }
+  return m;
+}
 
 int rspl_decode_gray(const char* path, float* out, int expect_h, int expect_w) {
   std::vector<float> buf;

@@ -74,6 +74,12 @@ def _load():
         ]
         lib.rspl_loader_destroy.restype = None
         lib.rspl_loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.rspl_merge_lines.restype = ctypes.c_int
+        lib.rspl_merge_lines.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
         return _lib
 
@@ -99,6 +105,27 @@ def decode_gray(path: str, H: int, W: int) -> np.ndarray:
     if rc != 0:
         raise IOError(f"native decode failed ({rc}): {path}")
     return out
+
+
+def merge_lines(segs: np.ndarray, angle_thr: float, distance_thr: float,
+                ep_thr: float):
+    """Native MergeLines (rspl_runtime.cc::rspl_merge_lines). Returns the
+    merged (M, 4) float64 array, or None when the library is unavailable
+    (callers fall back to the numpy implementation in ops/lines.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    S = np.ascontiguousarray(segs, np.float64)
+    n = len(S)
+    out = np.empty((n, 4), np.float64)
+    m = lib.rspl_merge_lines(
+        S.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        angle_thr, distance_thr, ep_thr,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if m < 0:
+        return None
+    return out[:m]
 
 
 def remap_bilinear(src: np.ndarray, map_xy: np.ndarray) -> np.ndarray:

@@ -82,7 +82,8 @@ def detect_line_segments(
 
     # --- top-E edge pixels -------------------------------------------------
     flat = edge.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, max_edge_pixels)
+    # tiny images (tests, thumbnails) can have fewer pixels than the budget
+    vals, idx = jax.lax.top_k(flat, min(max_edge_pixels, flat.shape[0]))
     emask = vals > edge_threshold
     ys = (idx // W).astype(f32)
     xs = (idx % W).astype(f32)
@@ -257,10 +258,55 @@ def merge_two_lines(a, b):
     return np.array([lo * ct + xg, lo * st + yg, hi * ct + xg, hi * st + yg])
 
 
+def _merge_two_lines_vec(a: np.ndarray, b: np.ndarray,
+                         active: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`merge_two_lines` over rows: ``a``/``b`` (M, 4) →
+    merged (M, 4); rows where ``active`` is False pass ``a`` through.
+    Bit-for-bit the same arithmetic as the scalar version, evaluated with
+    numpy ufuncs so the per-cluster fold in :func:`merge_lines` costs
+    O(max cluster size) vectorized steps instead of O(Σ sizes) Python
+    calls."""
+    ax, ay, bx, by = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+    cx, cy, dx, dy = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    dlix, dliy = bx - ax, by - ay
+    dljx, dljy = dx - cx, dy - cy
+    li = np.hypot(dlix, dliy)
+    lj = np.hypot(dljx, dljy)
+    denom = 2.0 * (li + lj)
+    xg = (li * (ax + bx) + lj * (cx + dx)) / denom
+    yg = (li * (ay + by) + lj * (cy + dy)) / denom
+    with np.errstate(divide="ignore", invalid="ignore"):
+        thi = np.where(dlix == 0.0, np.pi / 2,
+                       np.arctan(dliy / np.where(dlix == 0.0, 1.0, dlix)))
+        thj = np.where(dljx == 0.0, np.pi / 2,
+                       np.arctan(dljy / np.where(dljx == 0.0, 1.0, dljx)))
+        # π-wrap branch: thj − π·sign(thj); thj ≠ 0 whenever the branch is
+        # taken (|thi − thj| > π/2 requires |thj| > 0) — guard anyway
+        tmp = thj - np.pi * np.where(thj == 0.0, 1.0, np.sign(thj))
+    thj_eff = np.where(np.abs(thi - thj) <= np.pi / 2, thj, tmp)
+    th = (li * thi + lj * thj_eff) / (li + lj)
+    ct, st = np.cos(th), np.sin(th)
+    pa = (ay - yg) * st + (ax - xg) * ct
+    pb = (by - yg) * st + (bx - xg) * ct
+    pc = (cy - yg) * st + (cx - xg) * ct
+    pd = (dy - yg) * st + (dx - xg) * ct
+    lo = np.minimum(np.minimum(pa, pb), np.minimum(pc, pd))
+    hi = np.maximum(np.maximum(pa, pb), np.maximum(pc, pd))
+    merged = np.stack(
+        [lo * ct + xg, lo * st + yg, hi * ct + xg, hi * st + yg], axis=-1
+    )
+    return np.where(active[:, None], merged, a)
+
+
 def merge_lines(segs: np.ndarray, angle_thr: float = 0.1,
-                distance_thr: float = 15.0, ep_thr: float = 30.0) -> np.ndarray:
-    """The reference's MergeLines algorithm (line_processor.cc:492-665),
-    with the O(N²) pair tests vectorized:
+                distance_thr: float = 15.0, ep_thr: float = 30.0,
+                force_numpy: bool = False) -> np.ndarray:
+    """The reference's MergeLines algorithm (line_processor.cc:492-665).
+
+    Dispatches to the native C++ port (native/rspl_runtime.cc) when the
+    runtime library is available — per-frame host work where numpy's
+    per-op dispatch overhead dominates — and otherwise runs the numpy
+    implementation below, with the O(N²) pair tests vectorized:
 
     1. pairwise neighbor test — principal-angle difference ≤ angle_thr,
        midpoint-to-line distance ≤ distance_thr in EITHER direction, and
@@ -277,6 +323,12 @@ def merge_lines(segs: np.ndarray, angle_thr: float = 0.1,
         return segs
     if N == 1:
         return np.asarray(segs, np.float64).reshape(1, 4)
+    if not force_numpy:
+        from rspl_slam_tpu import native
+
+        merged = native.merge_lines(segs, angle_thr, distance_thr, ep_thr)
+        if merged is not None:
+            return merged
     S = np.asarray(segs, np.float64)
     dx = S[:, 2] - S[:, 0]
     dy = S[:, 3] - S[:, 1]
@@ -350,7 +402,6 @@ def merge_lines(segs: np.ndarray, angle_thr: float = 0.1,
         comps.setdefault(r, []).append(i)
 
     # sub-cluster split + pairwise merge fold (line_processor.cc:625-664)
-    out: list[np.ndarray] = []
     neigh_cache: dict[int, np.ndarray] = {}
 
     def neigh_lists(i):
@@ -358,26 +409,32 @@ def merge_lines(segs: np.ndarray, angle_thr: float = 0.1,
             neigh_cache[i] = np.nonzero(ok[i])[0]
         return neigh_cache[i]
 
+    subs: list[np.ndarray] = []
     for members in comps.values():
         cluster = np.asarray(members, np.int64)
         if len(cluster) <= 2:
-            subs = [cluster]
+            subs.append(cluster)
         else:
             cluster = cluster[np.argsort(-lengths[cluster], kind="stable")]
             clustered = set()
-            subs = []
             for li in cluster:
                 if li in clustered:
                     continue
                 nb = neigh_lists(int(li))
                 clustered.update(nb.tolist())
                 subs.append(np.concatenate([[li], nb]))
-        for sub in subs:
-            cur = S[sub[0]]
-            for j in sub[1:]:
-                cur = merge_two_lines(cur, S[j])
-            out.append(cur)
-    return np.stack(out)
+    # fold every sub-cluster simultaneously: pad to the longest sub and run
+    # max-size−1 vectorized pairwise merges (order within a sub preserved)
+    M = len(subs)
+    sizes = np.fromiter((len(s) for s in subs), np.int64, M)
+    Lmax = int(sizes.max())
+    idx_pad = np.zeros((M, Lmax), np.int64)
+    for r, s in enumerate(subs):
+        idx_pad[r, : len(s)] = s
+    cur = S[idx_pad[:, 0]]
+    for k in range(1, Lmax):
+        cur = _merge_two_lines_vec(cur, S[idx_pad[:, k]], sizes > k)
+    return cur
 
 
 def filter_short_lines(segs: np.ndarray, min_length: float) -> np.ndarray:

@@ -104,3 +104,40 @@ class TestLoader:
         # identity remap reproduces the source away from the clamp border
         np.testing.assert_allclose(left[:47, :63], ref[:47, :63], atol=1e-5)
         loader.close()
+
+
+class TestNativeMergeLines:
+    """Native MergeLines (rspl_runtime.cc::rspl_merge_lines) must be
+    numerically interchangeable with the numpy implementation it
+    accelerates (ops/lines.py::merge_lines, line_processor.cc:492-665)."""
+
+    @pytest.mark.skipif(not native.available(), reason="native lib missing")
+    def test_parity_random(self):
+        rng = np.random.default_rng(7)
+        from rspl_slam_tpu.ops import lines as lops
+
+        for _ in range(60):
+            n = int(rng.integers(2, 100))
+            base = rng.uniform([0, 0, 0, 0], [752, 480, 752, 480],
+                               (max(n // 2, 1), 4))
+            segs = np.concatenate(
+                [base, base + rng.normal(0, 3, base.shape)])[:n]
+            a = lops.merge_lines(segs, 0.1, 15.0, 30.0, force_numpy=True)
+            b = lops.merge_lines(segs, 0.1, 15.0, 30.0)
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=1e-9)
+
+    @pytest.mark.skipif(not native.available(), reason="native lib missing")
+    def test_edge_cases(self):
+        from rspl_slam_tpu.ops import lines as lops
+
+        empty = np.zeros((0, 4))
+        assert len(lops.merge_lines(empty)) == 0
+        one = np.array([[0.0, 0.0, 50.0, 0.0]])
+        np.testing.assert_allclose(lops.merge_lines(one), one)
+        # two collinear overlapping segments merge into one
+        two = np.array([[0.0, 0.0, 50.0, 0.0], [40.0, 0.5, 90.0, 0.5]])
+        m = lops.merge_lines(two)
+        assert m.shape == (1, 4)
+        np.testing.assert_allclose(
+            m, lops.merge_lines(two, force_numpy=True), atol=1e-9)
