@@ -151,42 +151,40 @@ def _stage_bias(params, sname, n_convs):
 
 
 def _stem_pallas(params, x255, compute_dtype, interpret=False):
-    """Stages 1-2 through the fused Pallas conv path (channel-major rows →
-    one deep MXU matmul per row — ops/conv_stem_pallas.py). XLA's conv
-    emitter runs these large-spatial/few-channel layers at ~30 TFLOP/s on
-    v5e while stages 3-5 hit near-peak; this path closes that gap. RCF's
-    input is grayscale replicated ×3, so conv1_1 collapses to a cin=1 conv
-    with channel-summed weights. Returns (x_nhwc_quarter, [s1, s2])."""
+    """Stage 1 through the fused Pallas conv path (channel-major rows →
+    one deep MXU matmul per row — ops/conv_stem_pallas.py). RCF's input is
+    grayscale replicated ×3, so conv1_1 collapses to a cin=1 conv with
+    channel-summed weights; conv1_2 runs in the fused kernel with the row
+    half of the 2×2 pool AND the stage-1 side contribution computed
+    in-kernel, so the full-resolution activations never round-trip HBM.
+    Stages 2-5 run in the generic XLA conv loop — measured on v5e, XLA's
+    conv emitter beats the row-matmul kernel at the half-res shapes
+    (conv2_2 128ch: 0.40 ms XLA vs 0.76 ms Pallas for the stereo pair)
+    while the kernel wins at the full-res 64-channel layer (1.29 vs 1.65).
+    Returns (x_nhwc_half, [s1])."""
     from rspl_slam_tpu.ops.conv_stem_pallas import (conv3x3_cin1_nhcw,
                                                     conv3x3_nhcw)
-
-    def pool_nhcw(t):
-        return jax.lax.reduce_window(
-            t, jnp.asarray(-jnp.inf, t.dtype), jax.lax.max,
-            (1, 2, 1, 2), (1, 2, 1, 2), "VALID",
-        )
-
-    def contrib(x_nhcw, sname, i):
-        wf = _side_weight(params, sname, i).astype(jnp.bfloat16)
-        return jnp.einsum("bhcw,c->bhw", x_nhcw, wf,
-                          preferred_element_type=jnp.float32)
 
     p = params
     w11 = p["conv1_1"]["w"].sum(axis=2, keepdims=True)  # replicated gray
     x11 = conv3x3_cin1_nhcw(w11, p["conv1_1"]["b"], x255)  # (B, H, 64, W)
-    x12 = conv3x3_nhcw(x11, p["conv1_2"]["w"], p["conv1_2"]["b"],
-                       interpret=interpret)
-    s1 = (contrib(x11, "conv1", 0) + contrib(x12, "conv1", 1)
-          + _stage_bias(p, "conv1", 2))
-    xp = pool_nhcw(x12)
-    x21 = conv3x3_nhcw(xp, p["conv2_1"]["w"], p["conv2_1"]["b"],
-                       interpret=interpret)
-    x22 = conv3x3_nhcw(x21, p["conv2_2"]["w"], p["conv2_2"]["b"],
-                       interpret=interpret)
-    s2 = (contrib(x21, "conv2", 0) + contrib(x22, "conv2", 1)
-          + _stage_bias(p, "conv2", 2))
-    x = jnp.transpose(pool_nhcw(x22), (0, 1, 3, 2))  # NHWC quarter res
-    return x.astype(compute_dtype), [s1, s2]
+    s1a = jnp.einsum("bhcw,c->bhw", x11,
+                     _side_weight(p, "conv1", 0).astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    x12p, s1b = conv3x3_nhcw(
+        x11, p["conv1_2"]["w"], p["conv1_2"]["b"], pool=True,
+        col_pool=False, side_w=_side_weight(p, "conv1", 1),
+        interpret=interpret,
+    )  # (B, H/2, 64, W) rows pooled, (B, H, W) full-res side score
+    s1 = s1a + s1b + _stage_bias(p, "conv1", 2)
+    # NHWC + the column half of the pool (W is a sublane dim in NHWC, so
+    # the strided window is cheap here; in NHCW it is lane-strided — slow)
+    x = jnp.transpose(x12p, (0, 1, 3, 2))  # (B, H/2, W, 64)
+    x = jax.lax.reduce_window(
+        x, jnp.asarray(-jnp.inf, x.dtype), jax.lax.max,
+        (1, 1, 2, 1), (1, 1, 2, 1), "VALID",
+    )
+    return x.astype(compute_dtype), [s1]
 
 
 @partial(jax.jit, static_argnames=("compute_dtype", "use_pallas_stem"))
@@ -214,7 +212,7 @@ def edge_logits(params: dict, images: jnp.ndarray, compute_dtype=jnp.bfloat16,
             side_scores.append(
                 _upsample_bilinear(s[..., None], H, W)
             )
-        stages = _STAGES[2:]
+        stages = _STAGES[1:]
     else:
         x = (images * 255.0)[..., None].repeat(3, -1)
         stages = _STAGES

@@ -132,15 +132,15 @@ def dense_heads(
     if use_pallas_stem:
         from rspl_slam_tpu.ops.conv_stem_pallas import superpoint_stem
 
-        x = superpoint_stem(params, images)  # (B, H/4, W/4, 64) bf16 NHWC
+        x = superpoint_stem(params, images)  # (B, H/2, W/2, 64) bf16 NHWC
     else:
         x = images[..., None]  # NHWC
         x = relu(_conv(x, params["conv1a"], compute_dtype, compute_dtype))
         x = relu(_conv(x, params["conv1b"], compute_dtype, compute_dtype))
         x = _pool2(x)
-        x = relu(_conv(x, params["conv2a"], compute_dtype, compute_dtype))
-        x = relu(_conv(x, params["conv2b"], compute_dtype, compute_dtype))
-        x = _pool2(x)
+    x = relu(_conv(x, params["conv2a"], compute_dtype, compute_dtype))
+    x = relu(_conv(x, params["conv2b"], compute_dtype, compute_dtype))
+    x = _pool2(x)
     x = relu(_conv(x, params["conv3a"], compute_dtype, compute_dtype))
     x = relu(_conv(x, params["conv3b"], compute_dtype, compute_dtype))
     x = _pool2(x)

@@ -48,8 +48,18 @@ __all__ = ["conv3x3_nhcw", "conv1a_nhcw", "conv3x3_cin1_nhcw",
 _TH = 16  # output rows per grid step (pooled rows per tile = _TH/2 ≥ 8)
 
 
-def _conv_kernel(TH: int, W: int, Wp: int, C: int, pool: bool):
-    def kernel(x_hbm, w_ref, b_ref, out_ref, ys, sems):
+def _conv_kernel(TH: int, W: int, Wp: int, C: int, pool: bool,
+                 side: bool = False):
+    """``side``: emit a second output — the per-pixel dot of the ReLU'd
+    conv output with a folded side-branch weight vector, at FULL (pre-pool)
+    resolution. This is RCF's stage-1 side score (models/rcf.py), computed
+    here so the pooled main path never has to materialize the unpooled
+    activations in HBM."""
+    def kernel(*refs):
+        if side:
+            x_hbm, w_ref, b_ref, sw_ref, out_ref, side_ref, ys, sems = refs
+        else:
+            x_hbm, w_ref, b_ref, out_ref, ys, sems = refs
         i = pl.program_id(1)
         bidx = pl.program_id(0)
         r0 = i * TH
@@ -88,29 +98,50 @@ def _conv_kernel(TH: int, W: int, Wp: int, C: int, pool: bool):
             )  # (C_out, W)
             return jax.nn.relu(y + b_ref[:])
 
+        def side_row(y, s):
+            # (C, W) ReLU'd conv output → scalar-per-pixel side score row
+            side_ref[0, s:s + 1] = jnp.sum(y * sw_ref[:], axis=0,
+                                           keepdims=True)
+
         if pool:
             # rows pooled here; columns pooled by the caller in XLA
             for u in range(rows_out):
-                m = jnp.maximum(conv_row(2 * u), conv_row(2 * u + 1))
-                out_ref[0, u] = m.astype(jnp.bfloat16)
+                y0 = conv_row(2 * u)
+                y1 = conv_row(2 * u + 1)
+                if side:
+                    side_row(y0, 2 * u)
+                    side_row(y1, 2 * u + 1)
+                out_ref[0, u] = jnp.maximum(y0, y1).astype(jnp.bfloat16)
         else:
             for s in range(rows_out):
-                out_ref[0, s] = conv_row(s).astype(jnp.bfloat16)
+                y = conv_row(s)
+                if side:
+                    side_row(y, s)
+                out_ref[0, s] = y.astype(jnp.bfloat16)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("pool", "interpret"))
+@partial(jax.jit, static_argnames=("pool", "interpret", "col_pool"))
 def conv3x3_nhcw(
     x: jnp.ndarray,  # (B, H, C, W) bfloat16 NHCW, unpadded
     w: jnp.ndarray,  # (3, 3, C, C_out) HWIO
     b: jnp.ndarray,  # (C_out,)
     pool: bool = False,
     interpret: bool = False,
-) -> jnp.ndarray:
+    side_w: jnp.ndarray | None = None,  # (C_out,) folded side weight
+    col_pool: bool = True,
+):
     """ReLU(conv3×3(x) + b), optionally followed by 2×2 maxpool, fused into
     one TPU kernel per row-tile. Returns (B, H', C_out, W') NHCW bf16 with
-    H' = H/2, W' = W/2 when pooling."""
+    H' = H/2, W' = W/2 when pooling (``col_pool=False`` leaves the column
+    half of the pool to the caller — cheaper when the caller transposes to
+    NHWC anyway and can pool there).
+
+    With ``side_w``, returns a tuple: the second element is the per-pixel
+    side score Σ_c side_w[c]·ReLU(conv)[c] at FULL resolution (B, H, W) f32
+    — RCF's stage side output, fused so the pre-pool activations never hit
+    HBM."""
     B, H, C, W = x.shape
     C_out = w.shape[3]
     assert w.shape[:3] == (3, 3, C), w.shape
@@ -131,21 +162,31 @@ def conv3x3_nhcw(
     NT = Hr // _TH
     Ho = Hr // 2 if pool else Hr
     TH_o = _TH // 2 if pool else _TH
-    out = pl.pallas_call(
-        _conv_kernel(_TH, W, Wp, C, pool),
-        out_shape=jax.ShapeDtypeStruct((B, Ho, C_out, W), jnp.bfloat16),
+    side = side_w is not None
+    out_shapes = [jax.ShapeDtypeStruct((B, Ho, C_out, W), jnp.bfloat16)]
+    out_specs = [pl.BlockSpec((1, TH_o, C_out, W), lambda b, i: (b, i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM; manual DMA
+        pl.BlockSpec((C_out, 9 * C), lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C_out, 1), lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xp, wf, bf]
+    if side:
+        in_specs.append(pl.BlockSpec((C_out, 1), lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(side_w.reshape(C_out, 1).astype(jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((B, Hr, W), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, _TH, W), lambda b, i: (b, i, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        _conv_kernel(_TH, W, Wp, C, pool, side),
+        out_shape=out_shapes if side else out_shapes[0],
         grid=(B, NT),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM; manual DMA
-            pl.BlockSpec((C_out, 9 * C), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C_out, 1), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, TH_o, C_out, W), lambda b, i: (b, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        in_specs=in_specs,
+        out_specs=out_specs if side else out_specs[0],
         scratch_shapes=[
             pltpu.VMEM((_TH + 2, C, Wp), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
@@ -154,13 +195,16 @@ def conv3x3_nhcw(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, wf, bf)
+    )(*args)
+    out = res[0] if side else res
     out = out[:, : H // 2 if pool else H]  # drop row-padding outputs
-    if pool:  # column half of the 2×2 maxpool (cheap, bandwidth-bound)
+    if pool and col_pool:  # column half of the 2×2 maxpool
         out = jax.lax.reduce_window(
             out, jnp.asarray(-jnp.inf, out.dtype), jax.lax.max,
             (1, 1, 1, 2), (1, 1, 1, 2), "VALID",
         )
+    if side:
+        return out, res[1][:, :H]
     return out
 
 
@@ -202,16 +246,19 @@ def conv3x3_cin1_nhcw(w: jnp.ndarray, b: jnp.ndarray,
 
 def superpoint_stem(params: dict, images: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
-    """Fused SuperPoint stem: conv1a..conv2b + both maxpools.
+    """Fused SuperPoint stage-1 stem: conv1a, conv1b + the first maxpool.
 
-    images (B, H, W) in [0,1] → (B, H/4, W/4, 64) bf16 NHWC, ready for
-    conv3a. conv1a runs as the channel-major XLA einsum; the three
-    64-channel convs run in the fused Pallas kernel."""
+    images (B, H, W) in [0,1] → (B, H/2, W/2, 64) bf16 NHWC, ready for
+    conv2a. conv1a runs as the channel-major XLA einsum; the full-res
+    64-channel conv1b runs in the fused Pallas kernel with the row half of
+    the pool. conv2a/conv2b stay on XLA's conv emitter — measured on v5e
+    it beats the row-matmul kernel at half-res shapes (see models/rcf.py
+    _stem_pallas), so the kernel only covers the layer where it wins."""
     y = conv1a_nhcw(params, images)  # (B, H, 64, W)
     y = conv3x3_nhcw(y, params["conv1b"]["w"], params["conv1b"]["b"],
-                     pool=True, interpret=interpret)
-    y = conv3x3_nhcw(y, params["conv2a"]["w"], params["conv2a"]["b"],
-                     pool=False, interpret=interpret)
-    y = conv3x3_nhcw(y, params["conv2b"]["w"], params["conv2b"]["b"],
-                     pool=True, interpret=interpret)
-    return jnp.transpose(y, (0, 1, 3, 2))  # (B, H/4, W/4, 64) NHWC
+                     pool=True, col_pool=False, interpret=interpret)
+    y = jnp.transpose(y, (0, 1, 3, 2))  # (B, H/2, W, 64) NHWC
+    return jax.lax.reduce_window(
+        y, jnp.asarray(-jnp.inf, y.dtype), jax.lax.max,
+        (1, 1, 2, 1), (1, 1, 2, 1), "VALID",
+    )
