@@ -378,6 +378,10 @@ int rspl_merge_lines(const double* segs, int n, double angle_thr,
           clustered[j] = 1;
         }
       }
+      // fold neighbors in angle-rank order (matches numpy merge_lines and
+      // the reference's angle-sorted cluster iteration)
+      std::stable_sort(sub.begin() + 1, sub.end(),
+                       [&](int a, int b) { return pos[a] < pos[b]; });
       fold_sub(sub);
     }
   }

@@ -58,22 +58,35 @@ class PoseGraphResult(NamedTuple):
 def relative_constraints_from_covisibility(
     kf_pose: np.ndarray, covis: np.ndarray, n_kf: int,
     min_weight: int = 10, capacity: int | None = None,
-    odometry: bool = True,
+    odometry: bool = True, loops=None, max_weight: float = 25.0,
 ):
     """Build PGO constraints from current keyframe poses + the covisibility
     matrix: one constraint per covisible pair (weight ≥ min_weight), plus
     consecutive-keyframe odometry constraints so the graph stays connected.
     ``kf_pose`` is world-from-camera (Twc) as stored by the map; measured
-    relatives are taken from the CURRENT estimates (call before applying
-    any perturbation/loop hypothesis)."""
+    relatives are taken from the CURRENT estimates.
+
+    ``loops`` supplies EXTERNALLY-MEASURED constraints (e.g. verified
+    loop closures from backend/loop_closure.py) as objects with fields
+    ``i, j, Z, weight`` where Z = Tcw_i·Twc_j is the measured relative.
+    Without at least one such constraint the covisibility/odometry graph
+    is built at its own optimum and optimization is a no-op — callers
+    should gate on ``loops`` (slam.SLAMSystem.run_pose_graph does).
+
+    Covisibility/odometry weights are CLAMPED to ``max_weight``: they are
+    estimate-derived rigidity priors, not independent measurements, so a
+    raw shared-point count (often hundreds) must not be allowed to swamp
+    a measured loop closure (weight ≙ geometric inlier count)."""
+    # a measured loop supersedes the estimate-derived edge on the same pair
+    loop_pairs = {(min(lc.i, lc.j), max(lc.i, lc.j)) for lc in (loops or [])}
     pairs = []
     weights = []
     for a in range(n_kf):
         for b in range(a + 1, n_kf):
             w = covis[a, b]
-            if w >= min_weight:
+            if w >= min_weight and (a, b) not in loop_pairs:
                 pairs.append((a, b))
-                weights.append(float(w))
+                weights.append(min(float(w), max_weight))
     if odometry:
         have = set(pairs)
         for a in range(n_kf - 1):
@@ -81,7 +94,10 @@ def relative_constraints_from_covisibility(
                 pairs.append((a, a + 1))
                 weights.append(float(min_weight))
     C = len(pairs)
-    cap = capacity or max(1, C)
+    n_loops = len(loops) if loops else 0
+    # pad to a power-of-two bucket: constraint count changes every call and
+    # the solver is jitted — bucketing bounds recompiles to O(log C)
+    cap = capacity or max(16, 1 << int(C + n_loops - 1).bit_length())
     c_i = np.zeros(cap, np.int32)
     c_j = np.zeros(cap, np.int32)
     c_Z = np.tile(np.eye(4), (cap, 1, 1))
@@ -94,6 +110,13 @@ def relative_constraints_from_covisibility(
         c_Z[k] = Tcw_a @ kf_pose[b]  # Tcw_i · Twc_j
         c_w[k] = w
         c_valid[k] = True
+    if loops:
+        for k, lc in enumerate(loops[: max(0, cap - C)]):
+            c_i[C + k] = lc.i
+            c_j[C + k] = lc.j
+            c_Z[C + k] = lc.Z  # measured Tcw_i · Twc_j — NOT from estimates
+            c_w[C + k] = lc.weight
+            c_valid[C + k] = True
     Tcw = np.stack([np.linalg.inv(kf_pose[f]) for f in range(n_kf)])
     return PoseGraphProblem(
         Tcw=jnp.asarray(Tcw),

@@ -47,7 +47,11 @@ def _build_slam(args, use_lines=None, rectify=True):
         cfg = dataclasses.replace(cfg, use_lines=use_lines)
     fe = NeuralFrontend(cfg, matcher=getattr(args, "matcher", "superglue"),
                         rectify=rectify)
-    return SLAMSystem(cfg, fe), cfg
+    slam = SLAMSystem(
+        cfg, fe,
+        enable_loop_closure=getattr(args, "loop_closure", False),
+    )
+    return slam, cfg
 
 
 def cmd_run(args):
@@ -139,11 +143,17 @@ def cmd_run(args):
     print(f"processed {n} frames in {wall:.1f}s ({n / wall:.1f} fps)")
     if publisher is not None:
         publisher.close()
+    if slam.loop_constraints:
+        print(f"loop closures accepted: {len(slam.loop_constraints)}")
     if getattr(args, "pose_graph", False):
         cost = slam.run_pose_graph()
         if cost is not None:
             print(f"pose graph: optimized {slam.map.n_kf} keyframes "
                   f"(final cost {cost:.3e})")
+        else:
+            print("pose graph: skipped — no verified loop constraints "
+                  "(the covisibility/odometry graph is already at its "
+                  "optimum; enable --loop-closure to supply measurements)")
     slam.save_trajectory(args.traj_path)
     print(f"trajectory → {args.traj_path}")
     if args.save_map:
@@ -338,7 +348,13 @@ def main(argv=None):
                          "untrained weights)")
     pr.add_argument("--pose-graph", dest="pose_graph", action="store_true",
                     help="run global pose-graph optimization at the end "
-                         "(a global backend the reference lacks)")
+                         "(a global backend the reference lacks); needs "
+                         "loop constraints — see --loop-closure")
+    pr.add_argument("--loop-closure", dest="loop_closure",
+                    action="store_true",
+                    help="detect loop closures (place recognition + "
+                         "geometric verification) and correct the "
+                         "trajectory via the global pose graph")
     pr.add_argument("-v", "--verbose", action="store_true")
     pr.set_defaults(fn=cmd_run)
 

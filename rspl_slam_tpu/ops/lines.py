@@ -153,9 +153,15 @@ def detect_line_segments(
         occ = jnp.einsum("e,eb->b", inl.astype(jnp.bfloat16), occ_oh,
                          preferred_element_type=jnp.float32) > 0
         # bridge small gaps: dilate by max_gap_bins then find longest runs
+        # zero-fill shifts (NOT jnp.roll): roll wraps around the bin array,
+        # letting a run touching bin 0 bridge to bins near num_bins−1 and
+        # emit phantom corner-to-corner segments
         occ_d = occ
+        false1 = jnp.zeros((1,), bool)
         for _ in range(max_gap_bins):
-            occ_d = occ_d | jnp.roll(occ_d, 1) | jnp.roll(occ_d, -1)
+            left = jnp.concatenate([occ_d[1:], false1])
+            right = jnp.concatenate([false1, occ_d[:-1]])
+            occ_d = occ_d | left | right
 
         # longest run: run[i] = i − (last unoccupied bin ≤ i), computed with
         # a log-depth cummax instead of a length-256 serial scan — under the
@@ -421,6 +427,11 @@ def merge_lines(segs: np.ndarray, angle_thr: float = 0.1,
                 if li in clustered:
                     continue
                 nb = neigh_lists(int(li))
+                # fold in angle-sorted order: MergeTwoLines folds are
+                # order-dependent and the reference accumulates
+                # neighbor_lines in angle-rank order (line_processor.cc:
+                # 625-655 iterates the angle-sorted cluster)
+                nb = nb[np.argsort(pos[nb], kind="stable")]
                 clustered.update(nb.tolist())
                 subs.append(np.concatenate([[li], nb]))
     # fold every sub-cluster simultaneously: pad to the longest sub and run

@@ -73,13 +73,22 @@ class FrameRecord:
 
 class SLAMSystem:
     def __init__(self, cfg: SystemConfig, frontend, enable_ba: bool = True,
-                 enable_lines: bool | None = None):
+                 enable_lines: bool | None = None,
+                 enable_loop_closure: bool = False):
         self.cfg = cfg
         self.frontend = frontend
         self.enable_ba = enable_ba
         self.enable_lines = cfg.use_lines if enable_lines is None else enable_lines
         cam = cfg.camera
         self.K = CameraIntrinsics(cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+        # loop closure (an extension over the reference, which drifts
+        # unboundedly): place recognition + geometric verification feeding
+        # measured constraints into the global pose graph
+        self.loop_detector = None
+        self.loop_constraints: list = []
+        if enable_loop_closure:
+            from rspl_slam_tpu.backend.loop_closure import LoopDetector
+            self.loop_detector = LoopDetector(bf=cam.bf)
         self.map = map_store.MapStore(
             cfg.superpoint.max_keypoints, cfg.line_detector.max_lines,
             cfg.pipeline, desc_dim=cfg.superglue.descriptor_dim,
@@ -372,6 +381,16 @@ class SLAMSystem:
             self._run_local_ba(kf)
             self._t("local_ba", t0)
 
+        if self.loop_detector is not None:
+            t0 = time.perf_counter()
+            lc = self.loop_detector.detect(self.map, kf)
+            self._t("loop_detect", t0)
+            if lc is not None:
+                self.loop_constraints.append(lc)
+                # a verified loop is actionable immediately: correct the
+                # whole trajectory + rigidly re-anchor landmarks
+                self.run_pose_graph()
+
         self._ref_kf = kf
         self._ref_feats = feats
         return kf
@@ -578,21 +597,30 @@ class SLAMSystem:
                 self.map.ln_endpoints[ln] = np.asarray(eps)
 
     # ------------------------------------------------------------ pose graph
-    def run_pose_graph(self, min_weight: int = 10, iters: int = 20):
+    def run_pose_graph(self, min_weight: int = 10, iters: int = 20,
+                       require_loops: bool = True):
         """Global pose-graph optimization over all keyframes (a capability
         the reference lacks — its consistency ends at the local BA window).
-        Builds relative-pose constraints from covisibility + odometry,
+        Builds relative-pose constraints from covisibility + odometry PLUS
+        the measured loop-closure constraints accumulated by the detector,
         solves with the jitted LM PGO (backend/pose_graph.py), and rigidly
-        re-anchors landmarks to the corrected keyframe poses."""
+        re-anchors landmarks to the corrected keyframe poses.
+
+        Without loop constraints the covisibility/odometry graph is built
+        from the current estimates and is already at its optimum — by
+        default the solve is skipped then (``require_loops``) rather than
+        perturbing a converged map with solver noise."""
         from rspl_slam_tpu.backend import pose_graph as pg
 
         m = self.map
         if m.n_kf < 3:
             return None
+        if require_loops and not self.loop_constraints:
+            return None
         t0 = time.perf_counter()
         prob = pg.relative_constraints_from_covisibility(
             m.kf_pose, np.maximum(m.covis, m.covis.T), m.n_kf,
-            min_weight=min_weight,
+            min_weight=min_weight, loops=self.loop_constraints,
         )
         res = pg.optimize_pose_graph(prob, iters=iters)
         new_Twc = np.linalg.inv(np.asarray(res.Tcw))

@@ -193,7 +193,11 @@ class FramePublisher:
 
     def publish(self, rec, feats):
         self.n_published += 1
-        self.dumper.submit_critical(self._append_pose, rec.time, rec.Twc.copy())
+        # pose stream is appended INLINE: the write is a one-line file append
+        # (~µs) and must never be delayed behind slow PNG encodes on the
+        # bounded dump queue — sharing that queue would let overlays
+        # backpressure the tracking thread through this hook.
+        self._append_pose(rec.time, rec.Twc)
         img = getattr(feats, "image", None)
         if img is not None and rec.frame_id % self.stride == 0:
             self.dumper.submit(self._overlay, rec.frame_id, feats)

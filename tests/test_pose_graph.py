@@ -156,7 +156,8 @@ class TestMapIntegration:
         negligibly and the line landmarks keep valid Plücker geometry."""
         slam = self._build_slam()
         poses_before = slam.map.kf_pose[: slam.map.n_kf].copy()
-        cost = slam.run_pose_graph(min_weight=10, iters=10)
+        cost = slam.run_pose_graph(min_weight=10, iters=10,
+                                   require_loops=False)
         assert cost is not None and cost < 1e-4  # f32, weighted
         poses_after = slam.map.kf_pose[: slam.map.n_kf]
         assert _pose_err(poses_after, poses_before) < 1e-4
