@@ -87,6 +87,14 @@ class LineDetectorConfig:
     # back up — the reference resizes ×0.5 before FLD and rescales ×2
     # (line_processor.cc:460-466); 4× fewer pixels for the Hough stage
     downsample: int = 2
+    # run RCF itself at the detection scale (downsample the IMAGE before the
+    # net instead of the edge map after it). The edge map is only ever
+    # consumed at ×1/downsample, and edge probability is scale-robust (the
+    # RCF paper averages over {0.5, 1, 1.5}-scaled inputs), so this trades
+    # nothing the detector sees for ~4× fewer conv FLOPs in the heaviest
+    # network of the hot loop. False reproduces the reference order exactly
+    # (RCF at full res, then resize — rcf.cpp:86, line_processor.cc:460).
+    rcf_at_detection_scale: bool = True
 
 
 @dataclass(frozen=True)

@@ -67,6 +67,17 @@ def _downsample_max(edges: jnp.ndarray, ds: int) -> jnp.ndarray:
     )
 
 
+@partial(jax.jit, static_argnames=("ds",))
+def _downsample_mean(images: jnp.ndarray, ds: int) -> jnp.ndarray:
+    """(B, H, W) images → (B, H//ds, W//ds) by area averaging — what
+    cv::resize(INTER_LINEAR) computes at an exact ×1/ds scale, the
+    reference's pre-FLD resize (line_processor.cc:460)."""
+    s = jax.lax.reduce_window(
+        images, 0.0, jax.lax.add, (1, ds, ds), (1, ds, ds), "VALID"
+    )
+    return s / float(ds * ds)
+
+
 @jax.jit
 def _remap_batch(images: jnp.ndarray, maps: jnp.ndarray) -> jnp.ndarray:
     """Batched bilinear rectification: (B, H, W) images × (B, H, W, 2) maps."""
@@ -200,11 +211,18 @@ class NeuralFrontend:
         from rspl_slam_tpu.ops import lines as lops
 
         ld = self.cfg.line_detector
-        edges = rcf.edge_map(self.rcf_params, jnp.asarray(imgs),
-                             self.compute_dtype)
         ds = max(1, int(ld.downsample))
-        if ds > 1:
-            edges = _downsample_max(edges, ds)
+        imgs = jnp.asarray(imgs)
+        if ds > 1 and ld.rcf_at_detection_scale and \
+                imgs.shape[1] % (4 * ds) == 0 and imgs.shape[2] % (4 * ds) == 0:
+            # production default: downsample the image FIRST, run RCF at the
+            # detection scale (~4× fewer conv FLOPs; see LineDetectorConfig)
+            edges = rcf.edge_map(self.rcf_params, _downsample_mean(imgs, ds),
+                                 self.compute_dtype)
+        else:
+            edges = rcf.edge_map(self.rcf_params, imgs, self.compute_dtype)
+            if ds > 1:
+                edges = _downsample_max(edges, ds)
         out = []
         for b in range(2):
             segs, valid, _ = lops.detect_line_segments(

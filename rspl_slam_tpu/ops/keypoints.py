@@ -17,15 +17,19 @@ __all__ = ["simple_nms", "border_mask", "top_k_keypoints", "sample_descriptors"]
 
 
 def _max_pool_same(x: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """(B, H, W) max pool with kernel 2r+1, stride 1, SAME padding."""
+    """(B, H, W) max pool with kernel 2r+1, stride 1, SAME padding.
+
+    Max is separable: a (k, k) window is two 1-D passes (k ops/px each
+    instead of k² in one 2-D window). XLA's reduce_window emitter does not
+    perform this decomposition itself; at the SuperPoint NMS shape
+    (2×480×752, k=9, ×5 calls per frame) the split is ~4× cheaper, with
+    bit-identical results."""
     k = 2 * radius + 1
+    y = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, 1), (1, 1, 1), "SAME"
+    )
     return jax.lax.reduce_window(
-        x,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, k, k),
-        window_strides=(1, 1, 1),
-        padding="SAME",
+        y, -jnp.inf, jax.lax.max, (1, 1, k), (1, 1, 1), "SAME"
     )
 
 

@@ -162,6 +162,60 @@ def test_rcf_training_loss_decreases():
 
 
 @pytest.mark.slow
+def test_rcf_at_detection_scale_matches_full_res_path():
+    """The production default runs RCF at the ×0.5 detection scale
+    (LineDetectorConfig.rcf_at_detection_scale) instead of full-res RCF +
+    edge-map downsample. Validate through the real frontend wiring
+    (NeuralFrontend._extract_lines) that the cheap path recovers the same
+    GT structure as the reference-order path."""
+    import dataclasses
+
+    from rspl_slam_tpu.config import CameraConfig, SystemConfig
+    from rspl_slam_tpu.frontend.frontends import NeuralFrontend
+    from rspl_slam_tpu.training import rcf_train
+
+    params, _ = rcf_train.train(
+        steps=60, batch=2, hw=(96, 128), width_mult=0.25, lr=1e-3,
+        verbose=False, seed=1,
+    )
+    H, W = 192, 256
+    cam = CameraConfig(image_width=W, image_height=H, fx=200.0, fy=200.0,
+                       cx=W / 2, cy=H / 2, bf=20.0)
+    base = SystemConfig(camera=cam, use_lines=True)
+
+    def detect(at_scale: bool, img):
+        cfg = dataclasses.replace(
+            base, line_detector=dataclasses.replace(
+                base.line_detector, rcf_at_detection_scale=at_scale,
+                length_threshold=8,
+            ),
+        )
+        fe = NeuralFrontend(cfg, rcf_params=params, use_lines=True,
+                            matcher="cosine")
+        segs_l, _ = fe._extract_lines(np.stack([img, img]))
+        return segs_l
+
+    hits = {}
+    for seed in (7, 8):
+        rng = np.random.default_rng(seed)
+        img, _, gt_segs = rcf_train.render_edge_scene(rng, H, W, n_rects=2,
+                                                      noise=0.01)
+        gt_long = [g for g in gt_segs
+                   if np.hypot(g[2] - g[0], g[3] - g[1]) >= 70]
+        for mode in (True, False):
+            det = detect(mode, img)
+            n = sum(any(_match_seg(d, g, dist_tol=5.0, overlap_min=0.3)
+                        for d in det) for g in gt_long)
+            hits.setdefault(mode, []).append((n, len(gt_long)))
+    got_half = sum(n for n, _ in hits[True])
+    got_full = sum(n for n, _ in hits[False])
+    total = sum(t for _, t in hits[True])
+    # the detection-scale path must see what the full-res path sees
+    assert got_half >= max(1, got_full - 1), (hits, total)
+    assert got_half >= total // 3, (hits, total)
+
+
+@pytest.mark.slow
 def test_trained_rcf_edge_map_drives_detector():
     """End to end: briefly-trained reduced RCF → edge probability map on a
     fresh scene → Hough detector finds segments aligned with GT outlines."""
