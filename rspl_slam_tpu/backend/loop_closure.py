@@ -152,6 +152,12 @@ class LoopDetector:
 
     bf: float                       # stereo baseline × fx (depth = bf/disp)
     sim_thr: float = 0.92           # place-recognition cosine gate
+    reloc_sim_thr: float = 0.5      # recovery gate — deliberately permissive
+    #                                 (partial view overlap dilutes pooled
+    #                                 descriptors); precision comes from the
+    #                                 3D-3D RANSAC verification, which a
+    #                                 wrong place essentially cannot pass
+    #                                 (≥min_inliers at inlier_dist metres)
     min_gap: int = 25               # slot distance before a loop is possible
     min_matches: int = 30           # descriptor matches to attempt geometry
     min_inliers: int = 20           # geometric inliers to accept
@@ -223,3 +229,51 @@ class LoopDetector:
             i=c, j=q, Z=T, weight=float(mask.sum()),
             n_inliers=int(mask.sum()), similarity=sim,
         )
+
+    def relocalize(self, m, desc: np.ndarray, valid: np.ndarray,
+                   meas: np.ndarray, top_k: int = 3):
+        """Kidnapped-robot recovery: match a LOST frame's raw features
+        against the whole keyframe database and return
+        (kf_slot, Twc, n_inliers) — the absolute pose of the query camera —
+        or None. Same place-recognition signature and 3D-3D RANSAC
+        verification as :meth:`detect`, but with no temporal/covisibility
+        exclusion (ANY keyframe is a valid anchor) and a more permissive
+        similarity gate (recall matters; a wrong candidate still has to pass
+        geometry). The reference has no equivalent — on tracking failure it
+        re-anchors on the previous frame and keeps drifting
+        (map_builder.cc:218-236)."""
+        n = m.n_kf
+        if n == 0:
+            return None
+        self._ensure_gdesc(m, n)
+        G = np.stack(self._gdesc[:n])
+        sims = G @ global_descriptor(desc, valid)
+        fx, fy, cx, cy = m._fx, m._fy, m._cx, m._cy
+        for c in np.argsort(sims)[::-1][:top_k]:
+            c = int(c)
+            if sims[c] < self.reloc_sim_thr:
+                break
+            i0 = mutual_nn_matches(desc, valid, m.kf_desc[c],
+                                   m.kf_kpt_valid[c],
+                                   max_dist=self.max_desc_dist)
+            kq = np.nonzero(i0 >= 0)[0]
+            if len(kq) < self.min_matches:
+                continue
+            kc = i0[kq]
+            stereo = (meas[kq, 2] > 0) & (m.kf_meas[c, kc, 2] > 0)
+            kq, kc = kq[stereo], kc[stereo]
+            if len(kq) < self.min_inliers:
+                continue
+            p_q = self._back_project(meas, kq, fx, fy, cx, cy)
+            p_c = self._back_project(m.kf_meas[c], kc, fx, fy, cx, cy)
+            # T = T_cc←cq maps query-camera points into candidate camera;
+            # T = Tcw_c · Twc_q  ⇒  Twc_q = Twc_c · T
+            T, mask = ransac_rigid_align(
+                p_q, p_c, iters=self.ransac_iters,
+                inlier_dist=self.inlier_dist, min_inliers=self.min_inliers,
+                seed=c + 1,
+            )
+            if T is None:
+                continue
+            return c, m.kf_pose[c] @ T, int(mask.sum())
+        return None

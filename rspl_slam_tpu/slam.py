@@ -74,7 +74,9 @@ class FrameRecord:
 class SLAMSystem:
     def __init__(self, cfg: SystemConfig, frontend, enable_ba: bool = True,
                  enable_lines: bool | None = None,
-                 enable_loop_closure: bool = False):
+                 enable_loop_closure: bool = False,
+                 enable_relocalization: bool | None = None,
+                 reloc_after: int = 3):
         self.cfg = cfg
         self.frontend = frontend
         self.enable_ba = enable_ba
@@ -86,9 +88,20 @@ class SLAMSystem:
         # measured constraints into the global pose graph
         self.loop_detector = None
         self.loop_constraints: list = []
-        if enable_loop_closure:
+        # relocalization (also absent in the reference): after ``reloc_after``
+        # consecutive lost frames, query the same place-recognition database
+        # to re-anchor tracking on ANY previous keyframe
+        if enable_relocalization is None:
+            enable_relocalization = enable_loop_closure
+        self.enable_relocalization = enable_relocalization
+        self.reloc_after = reloc_after
+        self.reloc_count = 0
+        if enable_loop_closure or enable_relocalization:
             from rspl_slam_tpu.backend.loop_closure import LoopDetector
             self.loop_detector = LoopDetector(bf=cam.bf)
+            self._loop_closure_on = enable_loop_closure
+        else:
+            self._loop_closure_on = False
         self.map = map_store.MapStore(
             cfg.superpoint.max_keypoints, cfg.line_detector.max_lines,
             cfg.pipeline, desc_dim=cfg.superglue.descriptor_dim,
@@ -104,6 +117,7 @@ class SLAMSystem:
         self._last_feats: FrameFeatures | None = None
         self._last_frame_meta = None  # (frame_id, time)
         self._last_track_ok = True
+        self._lost_count = 0  # consecutive frames without a pose fix
         self.timings: dict[str, list] = {}
 
     # ------------------------------------------------------------------ api
@@ -189,6 +203,29 @@ class SLAMSystem:
         self._t("match", t0)
         num_match = int((i0 >= 0).sum())
 
+        # relocalization (capability the reference lacks): after
+        # ``reloc_after`` consecutive frames without a pose fix, query the
+        # place-recognition database with the RAW frame features and
+        # re-anchor tracking on the best geometrically-verified keyframe
+        if (
+            self.enable_relocalization
+            and self._lost_count >= self.reloc_after
+            and num_match < self.cfg.keyframe.min_num_match
+        ):
+            t0 = time.perf_counter()
+            r = self.loop_detector.relocalize(
+                self.map, feats.desc, feats.valid, feats.meas
+            )
+            if r is not None:
+                c, Twc_r, _ = r
+                self._ref_kf = int(c)
+                self._ref_feats = self._features_from_keyframe(int(c))
+                self._last_Twc = np.asarray(Twc_r)
+                self.reloc_count += 1
+                i0 = self.frontend.match(feats, self._ref_feats)
+                num_match = int((i0 >= 0).sum())
+            self._t("reloc", t0)
+
         # fallback: weak association with the ref keyframe → promote the
         # previous frame to keyframe and re-anchor. Guarded like the
         # reference's `_num_since_last_keyframe < 1` check
@@ -210,6 +247,7 @@ class SLAMSystem:
         track_ok = n_inl >= max(self.cfg.keyframe.min_num_match, 10)
         if not track_ok:
             Twc = self._last_Twc.copy()
+        self._lost_count = 0 if track_ok else self._lost_count + 1
         self._last_track_ok = track_ok
         self._last_Twc = Twc
 
@@ -222,6 +260,27 @@ class SLAMSystem:
             rec.is_keyframe = True
             rec.kf_slot = kf
         return rec
+
+    def _features_from_keyframe(self, kf: int) -> FrameFeatures:
+        """Rebuild a matching-sufficient FrameFeatures view of a stored
+        keyframe. After relocalization the new reference keyframe's live
+        features are long gone; the map store holds everything temporal
+        matching and pose optimization need (xy/score/desc/valid/meas)."""
+        m = self.map
+        meas = m.kf_meas[kf].copy()
+        uR = meas[:, 2]
+        disp = meas[:, 0] - uR
+        depth = np.where(
+            uR > 0, self.K.bf / np.maximum(disp, 1e-6), 0.0
+        ).astype(np.float32)
+        return FrameFeatures(
+            xy=meas[:, :2].copy(),
+            score=m.kf_score[kf].astype(np.float32),
+            desc=m.kf_desc[kf].astype(np.float32),
+            valid=m.kf_kpt_valid[kf].copy(),
+            meas=meas,
+            depth=depth,
+        )
 
     def _pose_optimize(self, feats: FrameFeatures, i0: np.ndarray):
         """PnP init + pose-only LM against mappoints matched via the
@@ -381,7 +440,7 @@ class SLAMSystem:
             self._run_local_ba(kf)
             self._t("local_ba", t0)
 
-        if self.loop_detector is not None:
+        if self._loop_closure_on:
             t0 = time.perf_counter()
             lc = self.loop_detector.detect(self.map, kf)
             self._t("loop_detect", t0)
