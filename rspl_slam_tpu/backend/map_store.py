@@ -272,7 +272,8 @@ class MapStore:
     # ------------------------------------------------------------- gathering
     def gather_ba_window(self, center_kf: int, max_frames: int,
                          max_points: int, max_lines_w: int,
-                         cp_capacity: int, cl_capacity: int):
+                         cp_capacity: int, cl_capacity: int,
+                         frames: np.ndarray | None = None):
         """Assemble a fixed-shape BAProblem around ``center_kf``.
 
         Window = top covisible KFs; plus ONE extra frame held fixed (the
@@ -281,11 +282,18 @@ class MapStore:
         mappoints with ≥1 stereo or ≥2 mono observations inside the window
         (map.cc:652), maplines likewise (map.cc:707).
 
+        ``frames`` overrides the covisibility window with an explicit
+        keyframe-slot list (≤ max_frames) — the global-BA path passes every
+        keyframe here.
+
         Returns (problem_dict, mapping) where mapping carries the global
         indices needed to scatter results back. problem_dict contains numpy
         arrays ready to wrap in local_ba.BAProblem.
         """
-        frames = self.neighbor_keyframes(center_kf, max_frames)
+        if frames is None:
+            frames = self.neighbor_keyframes(center_kf, max_frames)
+        else:
+            frames = np.asarray(frames, np.int64)[:max_frames]
         F = max_frames
         fsel = np.zeros(F, np.int64)
         fsel[: len(frames)] = frames

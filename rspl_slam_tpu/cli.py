@@ -154,6 +154,13 @@ def cmd_run(args):
             print("pose graph: skipped — no verified loop constraints "
                   "(the covisibility/odometry graph is already at its "
                   "optimum; enable --loop-closure to supply measurements)")
+    if getattr(args, "global_ba", False):
+        cost = slam.run_global_ba()
+        if cost is not None:
+            print(f"global BA: refined {slam.map.n_kf} keyframes jointly "
+                  f"(final cost {cost:.3e})")
+        else:
+            print("global BA: skipped (map too small)")
     slam.save_trajectory(args.traj_path)
     print(f"trajectory → {args.traj_path}")
     if args.save_map:
@@ -350,6 +357,11 @@ def main(argv=None):
                     help="run global pose-graph optimization at the end "
                          "(a global backend the reference lacks); needs "
                          "loop constraints — see --loop-closure")
+    pr.add_argument("--global-ba", dest="global_ba", action="store_true",
+                    help="run full-map bundle adjustment at the end "
+                         "(all keyframes + landmarks jointly; the "
+                         "reference's consistency ends at the local "
+                         "covisibility window)")
     pr.add_argument("--loop-closure", dest="loop_closure",
                     action="store_true",
                     help="detect loop closures (place recognition + "

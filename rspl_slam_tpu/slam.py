@@ -76,7 +76,8 @@ class SLAMSystem:
                  enable_lines: bool | None = None,
                  enable_loop_closure: bool = False,
                  enable_relocalization: bool | None = None,
-                 reloc_after: int = 3):
+                 reloc_after: int = 3,
+                 global_ba_on_loop: bool = False):
         self.cfg = cfg
         self.frontend = frontend
         self.enable_ba = enable_ba
@@ -102,6 +103,7 @@ class SLAMSystem:
             self._loop_closure_on = enable_loop_closure
         else:
             self._loop_closure_on = False
+        self._global_ba_on_loop = global_ba_on_loop
         self.map = map_store.MapStore(
             cfg.superpoint.max_keypoints, cfg.line_detector.max_lines,
             cfg.pipeline, desc_dim=cfg.superglue.descriptor_dim,
@@ -449,6 +451,10 @@ class SLAMSystem:
                 # a verified loop is actionable immediately: correct the
                 # whole trajectory + rigidly re-anchor landmarks
                 self.run_pose_graph()
+                if self._global_ba_on_loop:
+                    # polish the rigidly re-anchored landmarks with a
+                    # full-map joint refinement
+                    self.run_global_ba()
 
         self._ref_kf = kf
         self._ref_feats = feats
@@ -654,6 +660,67 @@ class SLAMSystem:
             )
             if bool(ok):
                 self.map.ln_endpoints[ln] = np.asarray(eps)
+
+    # ------------------------------------------------------------- global BA
+    def run_global_ba(self, mesh=None, min_keyframes: int = 3,
+                      iters1: int | None = None, iters2: int | None = None):
+        """Full-map bundle adjustment: ALL keyframes, points and lines
+        optimized jointly — a capability the reference lacks (its
+        consistency ends at the ~9-keyframe covisibility window,
+        map.cc:471-525). Runs the same two-phase Huber/chi²-gated LM as the
+        local solver; capacities are rounded to powers of two so repeated
+        calls at growing map sizes reuse a handful of compiled graphs.
+
+        With ``mesh`` (a jax Mesh with a "data" axis), the constraint
+        dimension is sharded over the devices and each LM step's
+        normal-equation assembly is psum-reduced across them
+        (parallel/dist_ba.sharded_constraints_ba) — this is the path that
+        scales full-map refinement beyond one chip. Returns the final cost,
+        or None when the map is too small."""
+        m = self.map
+        if m.n_kf < min_keyframes:
+            return None
+        t0 = time.perf_counter()
+        frames = np.nonzero(m.kf_valid[: m.n_kf])[0]
+
+        def pow2(n, lo):
+            return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+        good = m.pt_status[: m.n_pt] == map_store.PT_GOOD
+        n_obs = int(m.pt_obs_n[: m.n_pt][good].sum())
+        n_lobs = int(m.ln_obs_n[: m.n_ln].sum()) if m.n_ln else 0
+        F = pow2(len(frames), 4)
+        P = pow2(int(good.sum()), 64)
+        L = pow2(max(m.n_ln, 1), 8)
+        CP = pow2(n_obs, 128)
+        CL = pow2(max(n_lobs, 1), 32)
+        problem_np, mapping = m.gather_ba_window(
+            int(frames[-1]), F, P, L, CP, CL, frames=frames,
+        )
+        if mapping["ncp"] < 30:
+            return None
+        prob = local_ba.BAProblem(**{
+            k: jnp.asarray(v) for k, v in problem_np.items()
+        })
+        o = self.cfg.optimization
+        bcfg = o.backend
+        kw = dict(
+            chi2_mono=bcfg.mono_point, chi2_stereo=bcfg.stereo_point,
+            chi2_mono_line=bcfg.mono_line, chi2_stereo_line=bcfg.stereo_line,
+            iters1=o.ba_iters_phase1 if iters1 is None else iters1,
+            iters2=o.ba_iters_phase2 if iters2 is None else iters2,
+        )
+        if mesh is not None:
+            from rspl_slam_tpu.parallel import dist_ba
+
+            ndev = mesh.shape["data"]
+            prob = dist_ba.pad_constraints(prob, ndev)
+            result = dist_ba.sharded_constraints_ba(self.K, prob, mesh, **kw)
+        else:
+            result = local_ba.optimize_local_map(self.K, prob, **kw)
+        self.apply_ba_result(result, mapping, int(frames[-1]))
+        self._t("global_ba", t0)
+        return float(result.cost)
 
     # ------------------------------------------------------------ pose graph
     def run_pose_graph(self, min_weight: int = 10, iters: int = 20,
