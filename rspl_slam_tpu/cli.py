@@ -192,6 +192,100 @@ def _print_timings(slam):
         print("  %-10s n=%4d median=%6.1f ms" % (k, len(v), np.median(v) * 1e3))
 
 
+def cmd_serve(args):
+    """Live stereo ingestion — the ROS-free equivalent of ros_main.cpp:
+    watch ``<watch-dir>/cam0/data`` and ``cam1/data`` for arriving image
+    files, pair them by identical filename (≙ the reference's
+    message_filters ApproximateTime sync on equal stamps,
+    ros_main.cpp:82-88), and feed each pair to the pipelined runner the
+    moment both halves exist (≙ GrabStereo → AddInput, ros_main.cpp:24-53).
+
+    Producers should write-then-rename so a listed file is complete.
+    Stops when a file named ``stop`` appears in watch-dir or after
+    ``--idle-timeout`` seconds without a new pair, then saves the
+    trajectory exactly like the offline driver."""
+    import threading
+
+    from rspl_slam_tpu.datasets import _load_gray
+    from rspl_slam_tpu.pipeline import PipelinedRunner
+    from rspl_slam_tpu.visualization import FramePublisher
+
+    slam, cfg = _build_slam(args, use_lines=not args.no_lines)
+    publisher = None
+    if args.viz_dir:
+        publisher = FramePublisher(args.viz_dir,
+                                   overlay_stride=args.overlay_stride)
+        if hasattr(slam.frontend, "keep_images"):
+            slam.frontend.keep_images = True
+    on_record = ((lambda rec, feats: publisher(rec, feats))
+                 if publisher is not None else None)
+    runner = PipelinedRunner(slam, queue_depth=cfg.pipeline.queue_depth,
+                             on_record=on_record)
+    d0 = os.path.join(args.watch_dir, "cam0", "data")
+    d1 = os.path.join(args.watch_dir, "cam1", "data")
+    stop_file = os.path.join(args.watch_dir, "stop")
+    exts = (".png", ".jpg", ".jpeg", ".pgm")
+
+    def _stamp(name: str, idx: int) -> float:
+        stem = os.path.splitext(name)[0]
+        try:
+            return int(stem) * 1e-9  # EuRoC convention: ns in the filename
+        except ValueError:
+            return idx / 20.0
+
+    def feeder():
+        seen: set = set()
+        idx = 0
+        last_new = time.perf_counter()
+        while True:
+            try:
+                names = sorted(
+                    (set(os.listdir(d0)) & set(os.listdir(d1))) - seen
+                )
+            except FileNotFoundError:
+                names = []
+            fed = False
+            for nm in names:
+                if not nm.lower().endswith(exts):
+                    continue
+                runner.feed(idx, _stamp(nm, idx),
+                            _load_gray(os.path.join(d0, nm)),
+                            _load_gray(os.path.join(d1, nm)))
+                seen.add(nm)
+                idx += 1
+                fed = True
+            now = time.perf_counter()
+            if fed:
+                last_new = now
+                continue  # drain any backlog before honoring stop/idle
+            if os.path.exists(stop_file):
+                break
+            if now - last_new > args.idle_timeout:
+                print(f"idle {args.idle_timeout:.0f}s — shutting down")
+                break
+            time.sleep(args.poll_ms / 1e3)
+        runner.close_input()
+
+    print(f"serving: watching {args.watch_dir} (stop file: {stop_file})")
+    th = threading.Thread(target=feeder, daemon=True)
+    t0 = time.perf_counter()
+    th.start()
+    records = runner.run_manual()
+    th.join()
+    wall = time.perf_counter() - t0
+    n = len(records)
+    print(f"served {n} frames in {wall:.1f}s"
+          + (f" ({n / wall:.1f} fps)" if n else ""))
+    if publisher is not None:
+        publisher.close()
+    slam.save_trajectory(args.traj_path)
+    print(f"trajectory → {args.traj_path}")
+    if args.save_map:
+        slam.save_map(args.save_map)
+        print(f"map → {args.save_map}")
+    _print_timings(slam)
+
+
 def cmd_eval(args):
     from rspl_slam_tpu.datasets import read_tum_trajectory
     from rspl_slam_tpu.evaluation import absolute_trajectory_error
@@ -369,6 +463,31 @@ def main(argv=None):
                          "trajectory via the global pose graph")
     pr.add_argument("-v", "--verbose", action="store_true")
     pr.set_defaults(fn=cmd_run)
+
+    pl = sub.add_parser(
+        "serve", help="live stereo ingestion — watch a directory for "
+                      "arriving cam0/cam1 frames (≙ ros_main.cpp)")
+    pl.add_argument("--watch-dir", dest="watch_dir", required=True,
+                    help="directory with cam0/data and cam1/data; frames "
+                         "are ingested as both halves of a pair appear")
+    pl.add_argument("--config", default=None, help="algorithm yaml")
+    pl.add_argument("--camera-config", dest="camera_config", default=None)
+    pl.add_argument("--traj-path", dest="traj_path", default="trajectory.txt")
+    pl.add_argument("--save-map", dest="save_map", default=None)
+    pl.add_argument("--viz-dir", dest="viz_dir", default=None)
+    pl.add_argument("--no-lines", dest="no_lines", action="store_true")
+    pl.add_argument("--overlay-stride", dest="overlay_stride", type=int,
+                    default=1)
+    pl.add_argument("--matcher", choices=["superglue", "cosine"],
+                    default="superglue")
+    pl.add_argument("--loop-closure", dest="loop_closure",
+                    action="store_true")
+    pl.add_argument("--idle-timeout", dest="idle_timeout", type=float,
+                    default=30.0,
+                    help="shut down after this many seconds without a new "
+                         "stereo pair")
+    pl.add_argument("--poll-ms", dest="poll_ms", type=float, default=20.0)
+    pl.set_defaults(fn=cmd_serve)
 
     pe = sub.add_parser("eval", help="ATE of estimate vs GT (≙ evo_ape tum -a)")
     pe.add_argument("--traj", required=True)
