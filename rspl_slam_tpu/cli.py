@@ -51,6 +51,11 @@ def _build_slam(args, use_lines=None, rectify=True):
         cfg, fe,
         enable_loop_closure=getattr(args, "loop_closure", False),
     )
+    resume = getattr(args, "resume_map", None)
+    if resume:
+        slam.resume_from_map(resume)
+        print(f"resumed from {resume}: {slam.map.n_kf} keyframes, "
+              f"{slam.map.n_pt} mappoints")
     return slam, cfg
 
 
@@ -434,6 +439,9 @@ def main(argv=None):
     pr.add_argument("--camera-config", dest="camera_config", default=None)
     pr.add_argument("--traj-path", dest="traj_path", default="trajectory.txt")
     pr.add_argument("--save-map", dest="save_map", default=None)
+    pr.add_argument("--resume-map", dest="resume_map", default=None,
+                    help="resume from a saved map checkpoint (npz) instead "
+                         "of initializing from scratch")
     pr.add_argument("--viz-dir", dest="viz_dir", default=None)
     pr.add_argument("--max-frames", dest="max_frames", type=int, default=-1)
     pr.add_argument("--no-lines", dest="no_lines", action="store_true")
@@ -474,6 +482,7 @@ def main(argv=None):
     pl.add_argument("--camera-config", dest="camera_config", default=None)
     pl.add_argument("--traj-path", dest="traj_path", default="trajectory.txt")
     pl.add_argument("--save-map", dest="save_map", default=None)
+    pl.add_argument("--resume-map", dest="resume_map", default=None)
     pl.add_argument("--viz-dir", dest="viz_dir", default=None)
     pl.add_argument("--no-lines", dest="no_lines", action="store_true")
     pl.add_argument("--overlay-stride", dest="overlay_stride", type=int,

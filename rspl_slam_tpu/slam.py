@@ -155,6 +155,31 @@ class SLAMSystem:
     def save_map(self, path: str):
         self.map.save(path)
 
+    def resume_from_map(self, path: str):
+        """Load a saved map checkpoint and resume tracking against it — a
+        capability the reference lacks entirely (it writes text maps it
+        never reads back, map.cc:1026-1077). The tracking anchor becomes
+        the last stored keyframe, with its features rebuilt straight from
+        the map arrays; frames fed after resume re-associate by normal
+        matching, or — if the camera moved while the system was down — via
+        relocalization (enable_relocalization). Frame indices fed after
+        resume should continue past the stored ones (the keyframe policy
+        counts frames since the reference keyframe)."""
+        self.map = map_store.MapStore.load(path, self.cfg.pipeline)
+        self.initialized = self.map.n_kf > 0
+        self.records = []
+        self.loop_constraints = []
+        if self.loop_detector is not None:
+            self.loop_detector._gdesc = []  # derived; rebuilt lazily
+        if self.initialized:
+            self._ref_kf = self.map.n_kf - 1
+            self._ref_feats = self._features_from_keyframe(self._ref_kf)
+            self._last_Twc = self.map.kf_pose[self._ref_kf].copy()
+            self._last_feats = None
+            self._last_frame_meta = None
+            self._last_track_ok = True
+            self._lost_count = 0
+
     # ----------------------------------------------------------------- init
     def _init_map(self, index: int, t: float, feats: FrameFeatures) -> FrameRecord:
         n_kpts = int(feats.valid.sum())
