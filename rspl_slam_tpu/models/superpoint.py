@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from rspl_slam_tpu.config import SuperPointConfig
-from rspl_slam_tpu.ops.keypoints import sample_descriptors, simple_nms, top_k_keypoints
+from rspl_slam_tpu.ops.keypoints import (sample_descriptors, simple_nms_cell,
+                                         top_k_keypoints_cell)
 
 __all__ = ["init_params", "load_torch_weights", "dense_heads", "extract", "Features"]
 
@@ -105,23 +106,17 @@ def _pool2(x):
     )
 
 
-def dense_heads(
+def _forward_cell(
     params: dict,
     images: jnp.ndarray,
     compute_dtype=jnp.bfloat16,
     use_pallas_stem: bool | None = None,
 ):
-    """images (B, H, W) in [0,1] → (scores (B, H, W), desc (B, C, H/8, W/8)).
-
-    The dense forward pass: encoder + both heads + softmax/pixel-shuffle for
-    scores and L2 normalization for descriptors, all matching
-    convert2onnx/superpoint.py:116-167. H, W must be multiples of 8.
-
-    ``use_pallas_stem`` routes conv1a..conv2b (+ both pools) through the
-    fused Pallas row-matmul kernel (ops/conv_stem_pallas.py; 1.53× over
-    XLA's conv emitter on v5e). Default: on when running on TPU with bf16
-    compute, off elsewhere (the kernel is inference-only — no VJP).
-    """
+    """Encoder + both heads, returning scores in the CELL layout:
+    probs (B, H/8, W/8, 64) with channel c = 8·dy + dx, and desc
+    (B, C, H/8, W/8). The pixel-shuffled (B, H, W) score map is a pure
+    relayout of probs (see dense_heads); extract() avoids materializing it
+    (the strided relayout dominated the NMS cost on v5e)."""
     B, H, W = images.shape
     relu = jax.nn.relu
     if use_pallas_stem is None:
@@ -150,15 +145,37 @@ def dense_heads(
     cPa = relu(_conv(x, params["convPa"], compute_dtype, compute_dtype))
     logits = _conv(cPa, params["convPb"], compute_dtype)  # (B, H/8, W/8, 65)
     probs = jax.nn.softmax(logits, axis=-1)[..., :64]  # drop dustbin
-    Hc, Wc = H // 8, W // 8
-    # pixel shuffle (B, Hc, Wc, 8*8) → (B, H, W)
-    scores = probs.reshape(B, Hc, Wc, 8, 8)
-    scores = jnp.transpose(scores, (0, 1, 3, 2, 4)).reshape(B, H, W)
 
     cDa = relu(_conv(x, params["convDa"], compute_dtype, compute_dtype))
     desc = _conv(cDa, params["convDb"], compute_dtype)  # (B, Hc, Wc, 256)
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
     desc = jnp.transpose(desc, (0, 3, 1, 2))  # (B, C, Hc, Wc)
+    return probs, desc
+
+
+def dense_heads(
+    params: dict,
+    images: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+    use_pallas_stem: bool | None = None,
+):
+    """images (B, H, W) in [0,1] → (scores (B, H, W), desc (B, C, H/8, W/8)).
+
+    The dense forward pass: encoder + both heads + softmax/pixel-shuffle for
+    scores and L2 normalization for descriptors, all matching
+    convert2onnx/superpoint.py:116-167. H, W must be multiples of 8.
+
+    ``use_pallas_stem`` routes conv1a/conv1b (+ pool) through the fused
+    Pallas row-matmul kernel (ops/conv_stem_pallas.py; 1.53× over XLA's
+    conv emitter on v5e). Default: on when running on TPU with bf16
+    compute, off elsewhere (the kernel is inference-only — no VJP).
+    """
+    B, H, W = images.shape
+    probs, desc = _forward_cell(params, images, compute_dtype, use_pallas_stem)
+    Hc, Wc = H // 8, W // 8
+    # pixel shuffle (B, Hc, Wc, 8*8) → (B, H, W)
+    scores = probs.reshape(B, Hc, Wc, 8, 8)
+    scores = jnp.transpose(scores, (0, 1, 3, 2, 4)).reshape(B, H, W)
     return scores, desc
 
 
@@ -197,16 +214,20 @@ def extract(
 
     One jitted graph per (B, H, W); batch the stereo pair (B=2) to use the
     MXU efficiently where the reference ran left/right serially.
+
+    NMS + top-K run on the pre-pixel-shuffle CELL layout (bit-identical
+    selection, ops/keypoints.simple_nms_cell) — the full-res score map
+    never materializes, which on v5e halves the whole post-dense cost.
     """
-    scores, desc_map = dense_heads(params, images, compute_dtype)
-    scores = simple_nms(scores, cfg.nms_radius)
+    probs, desc_map = _forward_cell(params, images, compute_dtype)
+    probs = simple_nms_cell(probs, cfg.nms_radius)
 
     def per_image(s, d):
-        xy, sc, valid = top_k_keypoints(
+        xy, sc, valid = top_k_keypoints_cell(
             s, cfg.max_keypoints, cfg.keypoint_threshold, cfg.remove_borders
         )
         descs = sample_descriptors(xy, d, 8)
         return xy, sc, descs, valid
 
-    xy, sc, descs, valid = jax.vmap(per_image)(scores, desc_map)
+    xy, sc, descs, valid = jax.vmap(per_image)(probs, desc_map)
     return Features(xy, sc, descs, valid)

@@ -39,6 +39,60 @@ class TestNMS:
         assert out[0, 10, 12] == 0.0
 
 
+class TestCellSpaceNMS:
+    """The extract path runs NMS/top-K on the pre-pixel-shuffle cell layout
+    (B, Hc, Wc, 64) — must be bit-identical to the pixel-space ops."""
+
+    @staticmethod
+    def _shuffle(p):
+        B, Hc, Wc, C = p.shape
+        return (p.reshape(B, Hc, Wc, 8, 8).transpose(0, 1, 3, 2, 4)
+                .reshape(B, Hc * 8, Wc * 8))
+
+    def test_nms_matches_pixel_space(self):
+        from rspl_slam_tpu.ops.keypoints import simple_nms_cell
+
+        rng = np.random.default_rng(0)
+        p = rng.uniform(size=(2, 6, 9, 64)).astype(np.float32)
+        # plateaus exercise the tie/suppression logic
+        p[0, 2, 3, :16] = 0.999
+        ref = np.asarray(simple_nms(jnp.asarray(self._shuffle(p)), 4))
+        got = self._shuffle(np.asarray(simple_nms_cell(jnp.asarray(p), 4)))
+        np.testing.assert_array_equal(ref, got)
+
+    def test_topk_matches_pixel_space(self):
+        from rspl_slam_tpu.ops.keypoints import (simple_nms_cell,
+                                                 top_k_keypoints_cell)
+
+        rng = np.random.default_rng(1)
+        p = rng.uniform(size=(1, 8, 12, 64)).astype(np.float32)
+        pix = simple_nms(jnp.asarray(self._shuffle(p)), 4)
+        cell = simple_nms_cell(jnp.asarray(p), 4)
+        xy_p, sc_p, v_p = top_k_keypoints(pix[0], 32, 1e-4, 4)
+        xy_c, sc_c, v_c = top_k_keypoints_cell(cell[0], 32, 1e-4, 4)
+        np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_c))
+        np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_c))
+        np.testing.assert_array_equal(np.asarray(xy_p), np.asarray(xy_c))
+
+    def test_extract_consistent_with_dense_heads(self):
+        """extract()'s cell path selects exactly the keypoints the public
+        pixel-space dense_heads + pixel ops would."""
+        cfg = SuperPointConfig(max_keypoints=64, keypoint_threshold=1e-4)
+        params = superpoint.init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.uniform(size=(1, 64, 96)).astype(np.float32))
+        feats = superpoint.extract(params, img, cfg, jnp.float32)
+        scores, desc = superpoint.dense_heads(params, img, jnp.float32)
+        s = simple_nms(scores, cfg.nms_radius)
+        xy, sc, valid = top_k_keypoints(s[0], 64, cfg.keypoint_threshold,
+                                        cfg.remove_borders)
+        np.testing.assert_array_equal(np.asarray(feats.valid[0]),
+                                      np.asarray(valid))
+        np.testing.assert_allclose(np.asarray(feats.xy[0]), np.asarray(xy))
+        np.testing.assert_allclose(np.asarray(feats.score[0]),
+                                   np.asarray(sc), rtol=1e-6)
+
+
 class TestTopK:
     def test_fixed_k_with_mask(self):
         s = np.zeros((64, 64), np.float32)
