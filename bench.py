@@ -103,10 +103,9 @@ def main():
         detection scale: the reference also detects lines on a ×0.5 map
         (line_processor.cc:460-466); we move the downsample in front of the
         net, trading nothing the detector sees for ~4× fewer conv FLOPs."""
-        small = jax.lax.reduce_window(
-            images, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2), "VALID"
-        ) * 0.25
-        edges = rcf.edge_map(rcf_params, small)
+        from rspl_slam_tpu.frontend.frontends import _downsample_mean
+
+        edges = rcf.edge_map(rcf_params, _downsample_mean(images, 2))
         segs_l, valid_l, _ = lops.detect_line_segments(
             edges[0], max_segments=LMAX, min_length=10.0,
             max_edge_pixels=2048)

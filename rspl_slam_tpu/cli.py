@@ -146,6 +146,12 @@ def cmd_run(args):
         loader.close()
     wall = time.perf_counter() - t0
     print(f"processed {n} frames in {wall:.1f}s ({n / wall:.1f} fps)")
+    _finish_run(slam, args, publisher)
+
+
+def _finish_run(slam, args, publisher):
+    """Shared shutdown epilogue of the run/serve drivers: optional global
+    backends, trajectory/map/visualization dumps, timing report."""
     if publisher is not None:
         publisher.close()
     if slam.loop_constraints:
@@ -168,10 +174,10 @@ def cmd_run(args):
             print("global BA: skipped (map too small)")
     slam.save_trajectory(args.traj_path)
     print(f"trajectory → {args.traj_path}")
-    if args.save_map:
+    if getattr(args, "save_map", None):
         slam.save_map(args.save_map)
         print(f"map → {args.save_map}")
-    if args.viz_dir:
+    if getattr(args, "viz_dir", None):
         _dump_viz(slam, args.viz_dir)
     _print_timings(slam)
 
@@ -242,34 +248,40 @@ def cmd_serve(args):
         seen: set = set()
         idx = 0
         last_new = time.perf_counter()
-        while True:
-            try:
+        try:
+            while True:
+                try:
+                    names = (set(os.listdir(d0)) & set(os.listdir(d1))) - seen
+                except FileNotFoundError:
+                    names = set()
+                # ingest in TIME order, not lexicographic (unpadded numeric
+                # names would otherwise order 1000 before 999)
                 names = sorted(
-                    (set(os.listdir(d0)) & set(os.listdir(d1))) - seen
+                    (nm for nm in names if nm.lower().endswith(exts)),
+                    key=lambda nm: _stamp(nm, idx),
                 )
-            except FileNotFoundError:
-                names = []
-            fed = False
-            for nm in names:
-                if not nm.lower().endswith(exts):
-                    continue
-                runner.feed(idx, _stamp(nm, idx),
-                            _load_gray(os.path.join(d0, nm)),
-                            _load_gray(os.path.join(d1, nm)))
-                seen.add(nm)
-                idx += 1
-                fed = True
-            now = time.perf_counter()
-            if fed:
-                last_new = now
-                continue  # drain any backlog before honoring stop/idle
-            if os.path.exists(stop_file):
-                break
-            if now - last_new > args.idle_timeout:
-                print(f"idle {args.idle_timeout:.0f}s — shutting down")
-                break
-            time.sleep(args.poll_ms / 1e3)
-        runner.close_input()
+                fed = False
+                for nm in names:
+                    runner.feed(idx, _stamp(nm, idx),
+                                _load_gray(os.path.join(d0, nm)),
+                                _load_gray(os.path.join(d1, nm)))
+                    seen.add(nm)
+                    idx += 1
+                    fed = True
+                now = time.perf_counter()
+                if fed:
+                    last_new = now
+                    continue  # drain any backlog before honoring stop/idle
+                if os.path.exists(stop_file):
+                    break
+                if now - last_new > args.idle_timeout:
+                    print(f"idle {args.idle_timeout:.0f}s — shutting down")
+                    break
+                time.sleep(args.poll_ms / 1e3)
+        except Exception as e:  # a bad frame must not hang the consumer
+            print(f"serve feeder error: {e!r} — shutting down")
+        finally:
+            runner.close_input()
 
     print(f"serving: watching {args.watch_dir} (stop file: {stop_file})")
     th = threading.Thread(target=feeder, daemon=True)
@@ -281,14 +293,7 @@ def cmd_serve(args):
     n = len(records)
     print(f"served {n} frames in {wall:.1f}s"
           + (f" ({n / wall:.1f} fps)" if n else ""))
-    if publisher is not None:
-        publisher.close()
-    slam.save_trajectory(args.traj_path)
-    print(f"trajectory → {args.traj_path}")
-    if args.save_map:
-        slam.save_map(args.save_map)
-        print(f"map → {args.save_map}")
-    _print_timings(slam)
+    _finish_run(slam, args, publisher)
 
 
 def cmd_eval(args):

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from rspl_slam_tpu.config import SuperPointConfig
-from rspl_slam_tpu.ops.keypoints import (sample_descriptors, simple_nms_cell,
+from rspl_slam_tpu.ops.keypoints import (sample_descriptors, simple_nms,
+                                         simple_nms_cell, top_k_keypoints,
                                          top_k_keypoints_cell)
 
 __all__ = ["init_params", "load_torch_weights", "dense_heads", "extract", "Features"]
@@ -218,16 +219,25 @@ def extract(
     NMS + top-K run on the pre-pixel-shuffle CELL layout (bit-identical
     selection, ops/keypoints.simple_nms_cell) — the full-res score map
     never materializes, which on v5e halves the whole post-dense cost.
+    The cell path is exact only for 3 ≤ nms_radius ≤ 8 (≤4 NMS survivors
+    per 8×8 cell and single-cell shift reach); other radii take the
+    pixel-space path.
     """
-    probs, desc_map = _forward_cell(params, images, compute_dtype)
-    probs = simple_nms_cell(probs, cfg.nms_radius)
+    if 3 <= cfg.nms_radius <= 8:
+        probs, desc_map = _forward_cell(params, images, compute_dtype)
+        scores = simple_nms_cell(probs, cfg.nms_radius)
+        topk = top_k_keypoints_cell
+    else:
+        scores, desc_map = dense_heads(params, images, compute_dtype)
+        scores = simple_nms(scores, cfg.nms_radius)
+        topk = top_k_keypoints
 
     def per_image(s, d):
-        xy, sc, valid = top_k_keypoints_cell(
+        xy, sc, valid = topk(
             s, cfg.max_keypoints, cfg.keypoint_threshold, cfg.remove_borders
         )
         descs = sample_descriptors(xy, d, 8)
         return xy, sc, descs, valid
 
-    xy, sc, descs, valid = jax.vmap(per_image)(probs, desc_map)
+    xy, sc, descs, valid = jax.vmap(per_image)(scores, desc_map)
     return Features(xy, sc, descs, valid)

@@ -112,6 +112,7 @@ def _pool1d_cell(x: jnp.ndarray, radius: int, axis: int, s: int = 8):
     """1-D full-resolution max window (2r+1, stride 1, SAME/−inf padding)
     along pixel axis ``axis`` (1 = rows, 2 = cols) of cell-layout
     (B, Hc, Wc, s·s). Pixel y = s·Y + dy lives at cell Y, sub-row dy."""
+    assert radius <= s, f"radius {radius} needs shifts beyond ±1 cell"
     B, Hc, Wc, C = x.shape
     x5 = x.reshape(B, Hc, Wc, s, s)
     d = 3 if axis == 1 else 4  # the sub-axis within the cell

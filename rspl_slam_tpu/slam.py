@@ -120,6 +120,7 @@ class SLAMSystem:
         self._last_frame_meta = None  # (frame_id, time)
         self._last_track_ok = True
         self._lost_count = 0  # consecutive frames without a pose fix
+        self._index_offset = 0  # shifts caller frame ids after a resume
         self.timings: dict[str, list] = {}
 
     # ------------------------------------------------------------------ api
@@ -135,6 +136,7 @@ class SLAMSystem:
         the pipelined runner — ≙ TrackingThread, map_builder.cc:187-262).
         ``i0`` optionally supplies precomputed temporal matches against the
         current reference keyframe (multi-sequence batched matching)."""
+        index = index + self._index_offset
         if not self.initialized:
             rec = self._init_map(index, t, feats)
         else:
@@ -162,10 +164,17 @@ class SLAMSystem:
         the last stored keyframe, with its features rebuilt straight from
         the map arrays; frames fed after resume re-associate by normal
         matching, or — if the camera moved while the system was down — via
-        relocalization (enable_relocalization). Frame indices fed after
-        resume should continue past the stored ones (the keyframe policy
-        counts frames since the reference keyframe)."""
+        relocalization (enable_relocalization). Caller frame indices are
+        shifted past the stored ones automatically (the keyframe cadence
+        counts frames since the reference keyframe, and duplicate frame ids
+        would collide in the text map dump), so drivers may restart at 0."""
         self.map = map_store.MapStore.load(path, self.cfg.pipeline)
+        if self.map.K != self.cfg.superpoint.max_keypoints:
+            raise ValueError(
+                f"checkpoint keypoint capacity K={self.map.K} != configured "
+                f"max_keypoints={self.cfg.superpoint.max_keypoints}; resume "
+                f"with the config the map was built under"
+            )
         self.initialized = self.map.n_kf > 0
         self.records = []
         self.loop_constraints = []
@@ -179,6 +188,9 @@ class SLAMSystem:
             self._last_frame_meta = None
             self._last_track_ok = True
             self._lost_count = 0
+            self._index_offset = int(
+                self.map.kf_frame_id[: self.map.n_kf].max()
+            ) + 1
 
     # ----------------------------------------------------------------- init
     def _init_map(self, index: int, t: float, feats: FrameFeatures) -> FrameRecord:

@@ -77,14 +77,14 @@ class TestGlobalBA:
         assert slam.map.n_kf >= 4
         _perturb(slam)
         before = _reproj_rms(slam)
+        pose0 = slam.map.kf_pose[0].copy()
         cost = slam.run_global_ba()
         assert cost is not None
         after = _reproj_rms(slam)
         assert after < before * 0.5, (before, after)
         assert after < 1.5, after  # px, ~noise floor at noise_px=0.6
         # gauge held: keyframe 0 untouched
-        np.testing.assert_allclose(slam.map.kf_pose[0],
-                                   slam.map.kf_pose[0])
+        np.testing.assert_allclose(slam.map.kf_pose[0], pose0)
 
     def test_with_lines(self):
         slam = _build_map(use_lines=True)
