@@ -409,15 +409,34 @@ def cmd_synth(args):
 
 
 def cmd_pretrain(args):
-    """Synthetic SuperPoint pretraining (a capability the reference lacks
-    entirely — its models are frozen TensorRT engines)."""
+    """Synthetic pretraining of any of the three networks (a capability the
+    reference lacks entirely — its models are frozen TensorRT engines)."""
     _enable_compile_cache()
     from rspl_slam_tpu.training import superpoint_train as T
 
-    params = T.train(steps=args.steps, batch=args.batch, lr=args.lr,
-                     seed=args.seed)
-    T.save_params(params, args.output)
-    print(f"trained SuperPoint → {args.output}")
+    model = getattr(args, "model", "superpoint")
+    if model == "superpoint":
+        params = T.train(steps=args.steps, batch=args.batch, lr=args.lr,
+                         seed=args.seed)
+    elif model == "rcf":
+        from rspl_slam_tpu.training import rcf_train
+
+        params, _ = rcf_train.train(steps=args.steps, batch=args.batch,
+                                    lr=args.lr, seed=args.seed)
+    else:  # superglue
+        from rspl_slam_tpu.config import SuperGlueConfig
+        from rspl_slam_tpu.training import superglue_train as G
+
+        cfg = SuperGlueConfig(image_width=320, image_height=240,
+                              num_gnn_layers=args.gnn_layers,
+                              sinkhorn_iterations=args.sinkhorn_iters)
+        params, _ = G.train(cfg, steps=args.steps, batch=args.batch,
+                            K=args.keypoints, lr=args.lr, seed=args.seed)
+    from rspl_slam_tpu.models.weights import save_npz_pytree
+
+    # general pytree saver (superglue's gnn is a LIST of layer dicts)
+    save_npz_pytree(args.output, params)
+    print(f"trained {model} → {args.output}")
 
 
 def cmd_convert_weights(args):
@@ -527,10 +546,19 @@ def main(argv=None):
     ps.set_defaults(fn=cmd_synth)
 
     pt = sub.add_parser("pretrain",
-                        help="train SuperPoint on synthetic scenes")
+                        help="train SuperPoint / RCF / SuperGlue on "
+                             "synthetic data")
+    pt.add_argument("--model", choices=["superpoint", "rcf", "superglue"],
+                    default="superpoint")
     pt.add_argument("--steps", type=int, default=300)
     pt.add_argument("--batch", type=int, default=4)
     pt.add_argument("--lr", type=float, default=1e-3)
+    pt.add_argument("--gnn-layers", dest="gnn_layers", type=int, default=4,
+                    help="superglue only: GNN depth to train")
+    pt.add_argument("--sinkhorn-iters", dest="sinkhorn_iters", type=int,
+                    default=20, help="superglue only")
+    pt.add_argument("--keypoints", type=int, default=64,
+                    help="superglue only: keypoints per synthetic problem")
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--output", default="superpoint_synth.npz")
     pt.set_defaults(fn=cmd_pretrain)

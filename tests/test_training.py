@@ -47,3 +47,68 @@ class TestTrainSmoke:
             np.testing.assert_allclose(
                 np.asarray(params[name]["w"]), np.asarray(loaded[name]["w"])
             )
+
+
+class TestSuperGlueTraining:
+    """Synthetic matcher training (training/superglue_train.py)."""
+
+    def _cfg(self):
+        from rspl_slam_tpu.config import SuperGlueConfig
+
+        return SuperGlueConfig(image_width=160, image_height=120,
+                               num_gnn_layers=2, sinkhorn_iterations=10)
+
+    def test_overfits_fixed_batch(self):
+        """Fast machinery check: the loss collapses and the decode recovers
+        the GT assignment on a single repeated batch (full generalization is
+        the slow test below)."""
+        import numpy as np
+
+        from rspl_slam_tpu.training import superglue_train as G
+
+        cfg = self._cfg()
+        fixed = G.make_batch(np.random.default_rng(0), 2, 16, cfg)
+        params, hist = G.train(cfg, steps=60, batch=2, K=16, lr=1e-3,
+                               verbose=False,
+                               batch_fn=lambda *a: fixed)
+        assert hist[-1] < hist[0] * 0.3, (hist[0], hist[-1])
+        acc = G.matching_accuracy(params, fixed, cfg)
+        assert acc > 0.9, acc
+
+    @pytest.mark.slow
+    def test_generalizes_to_heldout_problems(self):
+        import jax
+        import numpy as np
+
+        from rspl_slam_tpu.models import superglue
+        from rspl_slam_tpu.training import superglue_train as G
+
+        cfg = self._cfg()
+        rng = np.random.default_rng(99)
+        eval_batch = G.make_batch(rng, 4, 32, cfg)
+        p0 = superglue.init_params(jax.random.PRNGKey(0), cfg)
+        acc0 = G.matching_accuracy(p0, eval_batch, cfg)
+        params, hist = G.train(cfg, steps=300, batch=8, K=32, verbose=False)
+        acc1 = G.matching_accuracy(params, eval_batch, cfg)
+        assert hist[-1] < hist[0] * 0.5, (hist[0], hist[-1])
+        assert acc1 > 0.9 and acc1 > acc0 + 0.5, (acc0, acc1)
+
+    def test_ground_truth_batch_sanity(self):
+        import numpy as np
+
+        from rspl_slam_tpu.training import superglue_train as G
+
+        cfg = self._cfg()
+        rng = np.random.default_rng(3)
+        xy0, sc0, d0, v0, xy1, sc1, d1, v1, gt0 = (
+            np.asarray(a) for a in G.make_batch(rng, 2, 24, cfg)
+        )
+        K = 24
+        m = (gt0 >= 0) & (gt0 < K)
+        assert m.sum() > 0
+        # matched descriptors are close (same landmark + noise)
+        b, i = np.nonzero(m)
+        sims = np.sum(d0[b, i] * d1[b, gt0[b, i]], -1)
+        assert sims.mean() > 0.8, sims.mean()
+        # invalid rows are excluded
+        assert (gt0[~v0] == -1).all()
