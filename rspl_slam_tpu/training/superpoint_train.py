@@ -15,9 +15,11 @@ the public SuperPoint pipeline), adapted to this renderer:
   SuperPoint loss with λ balancing.
 
 Trained weights drop straight into the tracking stack
-(NeuralFrontend(sp_params=...)); ~1-2k steps of Adam on one chip take the
-full-stack synthetic ATE from decimeters (random weights, coarse
-localization) to centimeters.
+(NeuralFrontend(sp_params=...)). Measured effect (pinned by
+tests/test_training.py): 120 Adam steps roughly double keypoint recall@2px
+against rendered ground truth and cut median localization error ~35% vs
+random init — localization accuracy is what bounds the full-stack
+synthetic ATE with the cosine matcher.
 """
 
 from __future__ import annotations
