@@ -121,6 +121,17 @@ class MapStore:
         return k
 
     # --------------------------------------------------------------- points
+    @property
+    def points_remaining(self) -> int:
+        """Free mappoint slots (creation saturates when this hits 0 —
+        slam._insert_keyframe caps new-landmark batches so a long sequence
+        degrades to extending existing landmarks instead of crashing)."""
+        return int(self.pt_status.shape[0] - self.n_pt)
+
+    @property
+    def lines_remaining(self) -> int:
+        return int(self.ln_valid.shape[0] - self.n_ln)
+
     def new_mappoint(self, pos, desc, status=PT_GOOD) -> int:
         i = self.n_pt
         assert i < self.pt_status.shape[0], "mappoint capacity exceeded"

@@ -121,6 +121,7 @@ class SLAMSystem:
         self._last_track_ok = True
         self._lost_count = 0  # consecutive frames without a pose fix
         self._index_offset = 0  # shifts caller frame ids after a resume
+        self._capacity_warned = False
         self.timings: dict[str, list] = {}
 
     # ------------------------------------------------------------------ api
@@ -300,6 +301,21 @@ class SLAMSystem:
             rec.kf_slot = kf
         return rec
 
+    def _cap_new_landmarks(self, idx: np.ndarray) -> np.ndarray:
+        """Saturate new-landmark creation at the map's fixed capacity: a
+        sequence longer than the store degrades to extending/optimizing
+        existing landmarks instead of crashing on the allocator assert.
+        (The reference grows its pointer map unboundedly, map.cc:24-109.)"""
+        room = self.map.points_remaining
+        if len(idx) > room:
+            if not self._capacity_warned:
+                print(f"map point capacity reached ({self.map.n_pt}): new "
+                      "landmark creation saturates; tracking continues on "
+                      "the existing map")
+                self._capacity_warned = True
+            idx = idx[:room]
+        return idx
+
     def _features_from_keyframe(self, kf: int) -> FrameFeatures:
         """Rebuild a matching-sufficient FrameFeatures view of a stored
         keyframe. After relocalization the new reference keyframe's live
@@ -448,7 +464,7 @@ class SLAMSystem:
             idx = idx[np.sort(first)]
             self.map.add_point_obs_batch(pt[idx], kf, idx)
         # new stereo landmarks, back-projected in one batch (map.cc:61-73)
-        idx = np.nonzero(new_stereo)[0]
+        idx = self._cap_new_landmarks(np.nonzero(new_stereo)[0])
         if len(idx):
             d = feats.depth[idx]
             pc = np.stack([
@@ -461,7 +477,7 @@ class SLAMSystem:
             self.map.add_point_obs_batch(new_pts, kf, idx)
         # mono-only keypoints → pending landmarks, multi-view triangulated
         # once ≥2 keyframes observe them
-        idx = np.nonzero(new_mono)[0]
+        idx = self._cap_new_landmarks(np.nonzero(new_mono)[0])
         if len(idx):
             new_pts = self.map.new_mappoints_batch(
                 np.zeros((len(idx), 3)), feats.desc[idx],
@@ -534,6 +550,8 @@ class SLAMSystem:
                 if cand >= 0 and self.map.ln_valid[cand]:
                     ln = int(cand)
             if ln < 0:
+                if self.map.lines_remaining == 0:
+                    continue  # capacity saturated (see _cap_new_landmarks)
                 ln = self.map.new_mapline()
             self.map.add_line_obs(ln, kf, li)
         # (re)triangulate maplines observed here from their on-line mappoints

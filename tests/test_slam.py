@@ -119,3 +119,28 @@ class TestSLAMEndToEnd:
             nbrs = slam.map.neighbor_keyframes(slam.map.n_kf - 1, 9)
             assert nbrs[0] == slam.map.n_kf - 1
             assert len(set(nbrs.tolist())) == len(nbrs)
+
+
+class TestCapacitySaturation:
+    def test_long_sequence_saturates_instead_of_crashing(self):
+        """A sequence that would overflow the fixed mappoint store degrades
+        to extending existing landmarks (creation saturates with a warning)
+        instead of dying on the allocator assert mid-run."""
+        cfg = SystemConfig(
+            superpoint=SuperPointConfig(max_keypoints=256),
+            pipeline=PipelineConfig(ba_max_points=512, ba_max_lines=16,
+                                    max_map_points=400, max_map_lines=8),
+        )
+        scene = synthetic.make_scene(num_points=900, seed=6, num_lines=0,
+                                     extent=(10.0, 6.0, 16.0))
+        traj = synthetic.make_trajectory(40, step=0.05, yaw_rate=0.003)
+        fe = OracleFrontend(cfg, scene, noise_px=0.3, seed=6)
+        fe.poses = traj
+        slam = SLAMSystem(cfg, fe, enable_ba=True)
+        for i in range(40):
+            slam.add_frame(i, i * 0.05, None, None)
+        # store full, tracking survived to the end of the sequence
+        assert slam.map.n_pt <= 400
+        assert slam.map.points_remaining == 400 - slam.map.n_pt
+        assert slam._capacity_warned
+        assert slam.records[-1].num_inliers > 10
