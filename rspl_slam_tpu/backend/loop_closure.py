@@ -190,6 +190,7 @@ class LoopDetector:
             return None
         G = np.stack(self._gdesc[:n])
         sims = G @ self._gdesc[q]
+        sims[~m.kf_valid[:n]] = -1.0  # culled keyframes are not candidates
         # temporal + covisibility exclusion: a loop must be a re-visit,
         # not the local window seen again
         sims[max(0, q - self.min_gap):] = -1.0
@@ -248,6 +249,7 @@ class LoopDetector:
         self._ensure_gdesc(m, n)
         G = np.stack(self._gdesc[:n])
         sims = G @ global_descriptor(desc, valid)
+        sims[~m.kf_valid[:n]] = -1.0  # culled keyframes cannot anchor
         fx, fy, cx, cy = m._fx, m._fy, m._cx, m._cy
         for c in np.argsort(sims)[::-1][:top_k]:
             c = int(c)

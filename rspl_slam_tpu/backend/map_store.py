@@ -211,6 +211,48 @@ class MapStore:
         if m == 0:
             self.pt_status[pt] = PT_BAD
 
+    # -------------------------------------------------------------- culling
+    def find_redundant_keyframes(self, min_other_obs: int = 3,
+                                 ratio: float = 0.9,
+                                 protect=()) -> np.ndarray:
+        """Keyframes whose GOOD landmarks are ≥``ratio`` covered by at
+        least ``min_other_obs`` OTHER keyframes (the ORB-SLAM redundancy
+        criterion; the reference has no culling and grows unboundedly).
+        ``protect``: slots never reported (gauge frame, tracking anchor,
+        recent window)."""
+        out = []
+        protect = set(int(p) for p in protect)
+        for k in range(self.n_kf):
+            if not self.kf_valid[k] or self.kf_fixed[k] or k in protect:
+                continue
+            pts = self.kf_track[k]
+            pts = pts[pts >= 0]
+            pts = pts[self.pt_status[pts] == PT_GOOD]
+            if len(pts) == 0:
+                out.append(k)
+                continue
+            covered = self.pt_obs_n[pts] >= min_other_obs + 1
+            if covered.mean() >= ratio:
+                out.append(k)
+        return np.asarray(out, np.int64)
+
+    def cull_keyframe(self, kf: int):
+        """Remove keyframe ``kf`` from the map: drop all of its point/line
+        observations (landmarks left observer-less become BAD/invalid),
+        zero its covisibility, and mark the slot invalid. Slot indices of
+        other keyframes are unchanged (fixed-shape store); consumers filter
+        on ``kf_valid``."""
+        for pt in np.unique(self.kf_track[kf][self.kf_track[kf] >= 0]):
+            self.remove_point_obs(int(pt), kf)
+        lt = self.kf_line_track[kf]
+        for ln in np.unique(lt[lt >= 0]):
+            self.remove_line_obs(int(ln), kf)
+        self.kf_track[kf] = -1
+        self.kf_line_track[kf] = -1
+        self.covis[kf, :] = 0
+        self.covis[:, kf] = 0
+        self.kf_valid[kf] = False
+
     # ---------------------------------------------------------------- lines
     def new_mapline(self) -> int:
         i = self.n_ln

@@ -716,6 +716,29 @@ class SLAMSystem:
             if bool(ok):
                 self.map.ln_endpoints[ln] = np.asarray(eps)
 
+    # -------------------------------------------------------------- culling
+    def cull_redundant_keyframes(self, min_other_obs: int = 3,
+                                 ratio: float = 0.9,
+                                 keep_recent: int = 3) -> int:
+        """Remove keyframes whose GOOD landmarks are ≥``ratio`` covered by
+        ≥``min_other_obs`` other keyframes — bounds map growth for
+        life-long operation (the reference has no culling; its map grows
+        unboundedly). Never culls the gauge/fixed frames, the current
+        tracking anchor, or the ``keep_recent`` newest keyframes. Returns
+        the number culled."""
+        m = self.map
+        if m.n_kf < keep_recent + 2:
+            return 0
+        protect = {self._ref_kf} | set(
+            range(max(0, m.n_kf - keep_recent), m.n_kf)
+        )
+        victims = m.find_redundant_keyframes(
+            min_other_obs=min_other_obs, ratio=ratio, protect=protect,
+        )
+        for k in victims:
+            m.cull_keyframe(int(k))
+        return len(victims)
+
     # ------------------------------------------------------------- global BA
     def run_global_ba(self, mesh=None, min_keyframes: int = 3,
                       iters1: int | None = None, iters2: int | None = None):

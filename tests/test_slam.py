@@ -144,3 +144,62 @@ class TestCapacitySaturation:
         assert slam.map.points_remaining == 400 - slam.map.n_pt
         assert slam._capacity_warned
         assert slam.records[-1].num_inliers > 10
+
+
+class TestKeyframeCulling:
+    def test_redundant_keyframes_culled_and_tracking_continues(self):
+        """Slow overlapping motion makes most keyframes redundant; culling
+        removes them (bounded life-long map) and tracking + BA continue on
+        the survivors at unchanged accuracy."""
+        cfg = SystemConfig(
+            superpoint=SuperPointConfig(max_keypoints=256),
+            pipeline=PipelineConfig(ba_max_points=512, ba_max_lines=16),
+            keyframe=KeyframeConfig(max_num_match=300),  # kf nearly every frame
+        )
+        scene = synthetic.make_scene(num_points=800, seed=8, num_lines=0,
+                                     extent=(10.0, 6.0, 16.0))
+        traj = synthetic.make_trajectory(60, step=0.02, yaw_rate=0.002)
+        fe = OracleFrontend(cfg, scene, noise_px=0.3, seed=8)
+        fe.poses = traj
+        slam = SLAMSystem(cfg, fe, enable_ba=True)
+        for i in range(40):
+            slam.add_frame(i, i * 0.05, None, None)
+        n_kf = int(slam.map.kf_valid[: slam.map.n_kf].sum())
+        assert n_kf >= 10, n_kf
+        # the oracle samples a random 256-subset of the scene per frame, so
+        # coverage tops out below the strict ORB default — pass an explicit
+        # criterion matched to the synthetic overlap
+        culled = slam.cull_redundant_keyframes(min_other_obs=2, ratio=0.7)
+        assert culled >= 3, (n_kf, culled)
+        live = int(slam.map.kf_valid[: slam.map.n_kf].sum())
+        assert live == n_kf - culled
+        # trajectory output excludes culled slots
+        times, poses = slam.map.keyframe_trajectory()
+        assert len(times) == live
+        # tracking + keyframe insertion + BA continue on the culled map
+        errs = []
+        for i in range(40, 60):
+            rec = slam.add_frame(i, i * 0.05, None, None)
+            gt = INIT_POSE @ traj[i]
+            errs.append(float(np.linalg.norm(rec.Twc[:3, 3] - gt[:3, 3])))
+        assert max(errs) < 0.02, errs
+
+    def test_protected_keyframes_survive(self):
+        cfg = SystemConfig(
+            superpoint=SuperPointConfig(max_keypoints=256),
+            pipeline=PipelineConfig(ba_max_points=512, ba_max_lines=16),
+            keyframe=KeyframeConfig(max_num_match=300),
+        )
+        scene = synthetic.make_scene(num_points=800, seed=8, num_lines=0,
+                                     extent=(10.0, 6.0, 16.0))
+        traj = synthetic.make_trajectory(30, step=0.02, yaw_rate=0.002)
+        fe = OracleFrontend(cfg, scene, noise_px=0.3, seed=8)
+        fe.poses = traj
+        slam = SLAMSystem(cfg, fe, enable_ba=True)
+        for i in range(30):
+            slam.add_frame(i, i * 0.05, None, None)
+        slam.cull_redundant_keyframes(min_other_obs=2, ratio=0.7, keep_recent=3)
+        m = slam.map
+        assert m.kf_valid[0]  # gauge frame (fixed)
+        assert m.kf_valid[slam._ref_kf]
+        assert m.kf_valid[m.n_kf - 3: m.n_kf].all()
