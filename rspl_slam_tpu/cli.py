@@ -228,8 +228,22 @@ def cmd_serve(args):
                                    overlay_stride=args.overlay_stride)
         if hasattr(slam.frontend, "keep_images"):
             slam.frontend.keep_images = True
-    on_record = ((lambda rec, feats: publisher(rec, feats))
-                 if publisher is not None else None)
+    kf_count = [0]
+
+    def on_record(rec, feats):
+        if publisher is not None:
+            publisher(rec, feats)
+        # life-long operation: periodically cull redundant keyframes so the
+        # map stays bounded on an endless live feed
+        if args.cull_every > 0 and rec.is_keyframe:
+            kf_count[0] += 1
+            if kf_count[0] % args.cull_every == 0:
+                n = slam.cull_redundant_keyframes()
+                if n:
+                    print(f"culled {n} redundant keyframes "
+                          f"({int(slam.map.kf_valid[:slam.map.n_kf].sum())} "
+                          f"live)")
+
     runner = PipelinedRunner(slam, queue_depth=cfg.pipeline.queue_depth,
                              on_record=on_record)
     d0 = os.path.join(args.watch_dir, "cam0", "data")
@@ -515,6 +529,10 @@ def main(argv=None):
                     default="superglue")
     pl.add_argument("--loop-closure", dest="loop_closure",
                     action="store_true")
+    pl.add_argument("--cull-every", dest="cull_every", type=int, default=0,
+                    help="life-long mode: cull redundant keyframes every N "
+                         "keyframe insertions (0 = never; bounds the map "
+                         "on an endless feed)")
     pl.add_argument("--idle-timeout", dest="idle_timeout", type=float,
                     default=30.0,
                     help="shut down after this many seconds without a new "
