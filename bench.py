@@ -1,21 +1,28 @@
 #!/usr/bin/env python
 """Benchmark: end-to-end per-frame SLAM compute on one chip, FULL
-point-line stack — the reference's hot loop is RCF×2 + SuperPoint +
-SuperGlue + FLD per frame plus pose LM and amortized local BA
-(map_builder.cc:98-122, 187-262); that is what is timed here:
+point-line stack, on the REFERENCE'S OWN SCHEDULE — its hot loop runs
+RCF + SuperPoint + SuperGlue + FLD on the LEFT image per frame, pose LM,
+and defers right-image extraction to keyframe insertion
+(map_builder.cc:98-122, 165-166, 639-682; `lazy_right_extraction` in the
+production frontend). What is timed:
 
-- device per frame: RCF edge maps for the stereo pair, Hough segment
-  detection on both edge maps, batched SuperPoint on the pair, ONE batched
-  SuperGlue call covering stereo + temporal matching, 4×10 pose-only LM;
-- device per keyframe (≈ every 10th frame, amortized): point+line local
-  BA (Schur, Huber IRLS, 10→gate→5);
+- device per frame: RCF edge map + Hough segment detection (left),
+  SuperPoint (left), SuperGlue temporal matching against the reference
+  keyframe, 4×10 pose-only LM;
+- device per keyframe (≈ every 10th frame, amortized): the deferred
+  right-image extraction (RCF + Hough + SuperPoint + stereo SuperGlue)
+  and the point+line local BA (Schur, Huber IRLS, 10→gate→5);
 - host per frame: segment merge/filter, point-to-line assignment, stereo
-  line vote-matching (numpy bookkeeping, line_processor.cc:492-665);
+  line vote-matching (numpy bookkeeping, line_processor.cc:492-665) —
+  1 image per frame + 1 more per keyframe, amortized;
 - host per keyframe (amortized): keyframe insertion + BA-window gather.
 
+The eager both-eyes-every-frame mode (stereo tracking constraints on
+every frame — richer than the reference) is also timed and reported as
+``eager_stereo_fps``.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-``value`` is full-stack frames/s/chip; points-only fps and the per-stage
-split ride along as extra keys.
+``value`` is full-stack frames/s/chip; the per-stage split rides along.
 
 Baseline note: the reference repo publishes no numbers (BASELINE.md). The
 upstream AirVO system (TensorRT on a desktop GPU) runs ~30 fps end-to-end;
@@ -120,6 +127,51 @@ def main():
                        + jnp.sum(valid_l) + jnp.sum(valid_r)) * 1e-12
         return idx, Tcw, live
 
+    @jax.jit
+    def frame_step_lazy(images, ref_xy, ref_score, ref_desc, ref_valid,
+                        Twc0, Xw, meas, stereo, valid):
+        """The reference's per-frame schedule (and the production
+        frontend's lazy_right_extraction mode): RCF + Hough + SuperPoint +
+        temporal SuperGlue on the LEFT image only, then mono pose LM —
+        non-keyframe frames have no right features, so every tracking
+        constraint is mono (frame.cc:96-140, map_builder.cc:165-166)."""
+        from rspl_slam_tpu.frontend.frontends import _downsample_mean
+
+        edges = rcf.edge_map(rcf_params, _downsample_mean(images[:1], 2))
+        segs_l, valid_l, _ = lops.detect_line_segments(
+            edges[0], max_segments=LMAX, min_length=10.0,
+            max_edge_pixels=2048)
+        feats = superpoint.extract(sp_params, images[:1], sp_cfg)
+        res = superglue.match_pair(
+            sg_params, feats.xy, feats.score, feats.desc, feats.valid,
+            ref_xy[None], ref_score[None], ref_desc[None], ref_valid[None],
+            sg_cfg)
+        meas_live = meas + res.mscores0[0, 0] * 1e-12
+        out = pose_solver.optimize_pose(
+            Ki, Twc0, Xw, meas_live, jnp.zeros_like(stereo), valid)
+        live = (jnp.sum(feats.xy) + jnp.sum(res.mscores0)
+                + jnp.sum(segs_l) + jnp.sum(valid_l)) * 1e-12
+        return res.indices0, out.Tcw, live
+
+    def kf_completion_live(images, ref_xy, ref_score, ref_desc, ref_valid):
+        """Deferred right-image extraction at keyframe insertion
+        (InsertKeyframe → ExtractFeatureAndMatch + stereo match,
+        map_builder.cc:639-682): RCF + Hough + SuperPoint on the right
+        image and one stereo SuperGlue call. Returns a live scalar."""
+        from rspl_slam_tpu.frontend.frontends import _downsample_mean
+
+        edges = rcf.edge_map(rcf_params, _downsample_mean(images[1:], 2))
+        segs_r, valid_r, _ = lops.detect_line_segments(
+            edges[0], max_segments=LMAX, min_length=10.0,
+            max_edge_pixels=2048)
+        featsR = superpoint.extract(sp_params, images[1:], sp_cfg)
+        res = superglue.match_pair(
+            sg_params, ref_xy[None], ref_score[None], ref_desc[None],
+            ref_valid[None], featsR.xy, featsR.score, featsR.desc,
+            featsR.valid, sg_cfg)
+        return (jnp.sum(res.mscores0) + jnp.sum(featsR.xy)
+                + jnp.sum(segs_r) + jnp.sum(valid_r)) * 1e-12
+
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(size=(2, H, W)).astype(np.float32))
     ref_xy = jnp.asarray(rng.uniform(0, 400, (K, 2)).astype(np.float32))
@@ -173,15 +225,36 @@ def main():
         _timed(lambda: float(noop(jnp.zeros(())))) for _ in range(5)
     )
 
-    ITERS_P, ITERS_F = 100, 30
+    ITERS_P, ITERS_F, ITERS_L = 100, 30, 50
     chain_p = chained(frame_step_points, ITERS_P)
     chain_f = chained(frame_step_full, ITERS_F)
+    chain_l = chained(frame_step_lazy, ITERS_L)
     float(chain_p(images, meas))  # compile + warm
     wall = min(_timed(lambda: float(chain_p(images, meas))) for _ in range(3))
     dt_points = max(wall - rtt, 0.0) / ITERS_P
     float(chain_f(images, meas))
     wall = min(_timed(lambda: float(chain_f(images, meas))) for _ in range(3))
     dt_full = max(wall - rtt, 0.0) / ITERS_F
+    float(chain_l(images, meas))
+    wall = min(_timed(lambda: float(chain_l(images, meas))) for _ in range(3))
+    dt_lazy = max(wall - rtt, 0.0) / ITERS_L
+
+    # deferred right-image extraction, once per keyframe (amortized /10)
+    KFC_REPS = 10
+
+    @jax.jit
+    def chained_kfc(im):
+        def body(carry, _):
+            live = kf_completion_live(
+                carry, ref_xy, ref_score, ref_desc, ref_valid)
+            return carry + live * 1e-9, live
+
+        _, ts = jax.lax.scan(body, im, None, length=KFC_REPS)
+        return ts.sum()
+
+    float(chained_kfc(images))
+    wall = min(_timed(lambda: float(chained_kfc(images))) for _ in range(3))
+    dt_kfc = max(wall - rtt, 0.0) / KFC_REPS / 10.0
 
     # ---- amortized local BA with POINT AND LINE constraints (runs once per
     # keyframe ≈ every 10th frame) --------------------------------------
@@ -269,6 +342,21 @@ def main():
     host_line_work()  # warm
     dt_host_lines = min(_timed(host_line_work) for _ in range(5))
 
+    def host_line_work_single():
+        """Per-frame host line bookkeeping on the lazy schedule: left image
+        only (right-image merge + stereo vote matching moves to keyframes)."""
+        s = lops.filter_short_lines(segs_host, 30.0)
+        s = lops.merge_lines(s, 0.1, 15.0, 30.0)
+        s = lops.filter_short_lines(s, 60.0)
+        lops.assign_points_to_lines(s, xy_host, valid_host)
+
+    host_line_work_single()  # warm
+    dt_host_single = min(_timed(host_line_work_single) for _ in range(5))
+    # lazy schedule: one image per frame + the rest once per keyframe
+    dt_host_lines_lazy = (
+        dt_host_single + (dt_host_lines - dt_host_single) / 10.0
+    )
+
     # ---- host keyframe path, amortized (insert + covisibility + BA-window
     # gather at EuRoC scale) ---------------------------------------------
     from rspl_slam_tpu.backend import map_store
@@ -318,26 +406,51 @@ def main():
     # per frame: overlapped(extract+track device ∥ line/map host) + BA
     dt_frame_pipe = max(wall_ov - rtt, 0.0) / ITERS_F + dt_ba + dt_host_kf / 10.0
 
+    def overlapped_lazy():
+        fut = chain_l(images, meas)  # async dispatch
+        for _ in range(ITERS_L):
+            host_line_work_single()
+            m.update_covisibility(9)  # keyframe host path ≈ every 10th
+        float(fut)  # materialize → join
+
+    overlapped_lazy()  # warm
+    wall_ovl = min(_timed(overlapped_lazy) for _ in range(3))
+    # per frame on the lazy schedule: overlapped per-frame device work +
+    # amortized keyframe device work (right-eye completion + BA)
+    dt_frame_lazy_pipe = (
+        max(wall_ovl - rtt, 0.0) / ITERS_L + dt_kfc + dt_ba
+        + dt_host_kf / 10.0
+    )
+
     dt_frame_full = dt_full + dt_ba + dt_host_lines + dt_host_kf / 10.0
+    dt_frame_lazy = (dt_lazy + dt_kfc + dt_ba + dt_host_lines_lazy
+                     + dt_host_kf / 10.0)
     dt_frame_points = dt_points + dt_ba
     fps_pipe = 1.0 / dt_frame_pipe
+    fps_lazy_pipe = 1.0 / dt_frame_lazy_pipe
     fps_full = 1.0 / dt_frame_full
+    fps_lazy = 1.0 / dt_frame_lazy
     fps_points = 1.0 / dt_frame_points
 
     print(json.dumps({
         "metric": "full_stack_fps_per_chip",
-        "value": round(fps_pipe, 2),
+        "value": round(fps_lazy_pipe, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps_pipe / 30.0, 3),
-        "serial_fps": round(fps_full, 2),
+        "vs_baseline": round(fps_lazy_pipe / 30.0, 3),
+        "serial_fps": round(fps_lazy, 2),
+        "eager_stereo_fps": round(fps_pipe, 2),
         "points_only_fps": round(fps_points, 2),
         "detail_ms": {
+            "device_lazy_per_frame": round(dt_lazy * 1e3, 3),
             "device_full_per_frame": round(dt_full * 1e3, 3),
             "device_points_per_frame": round(dt_points * 1e3, 3),
+            "kf_completion_amortized": round(dt_kfc * 1e3, 3),
             "ba_amortized": round(dt_ba * 1e3, 3),
-            "host_lines_per_frame": round(dt_host_lines * 1e3, 3),
+            "host_lines_per_frame_lazy": round(dt_host_lines_lazy * 1e3, 3),
+            "host_lines_per_frame_eager": round(dt_host_lines * 1e3, 3),
             "host_kf_amortized": round(dt_host_kf / 10.0 * 1e3, 3),
-            "pipelined_per_frame": round(dt_frame_pipe * 1e3, 3),
+            "pipelined_per_frame": round(dt_frame_lazy_pipe * 1e3, 3),
+            "pipelined_per_frame_eager": round(dt_frame_pipe * 1e3, 3),
         },
     }))
 

@@ -46,7 +46,8 @@ def _build_slam(args, use_lines=None, rectify=True):
 
         cfg = dataclasses.replace(cfg, use_lines=use_lines)
     fe = NeuralFrontend(cfg, matcher=getattr(args, "matcher", "superglue"),
-                        rectify=rectify)
+                        rectify=rectify,
+                        lazy_right=getattr(args, "lazy_right", None))
     slam = SLAMSystem(
         cfg, fe,
         enable_loop_closure=getattr(args, "loop_closure", False),
@@ -493,6 +494,10 @@ def main(argv=None):
                     default="superglue",
                     help="cosine = mutual-NN on descriptors (works with "
                          "untrained weights)")
+    pr.add_argument("--lazy-right", dest="lazy_right", action="store_const",
+                    const=True, default=None,
+                    help="extract right-image features only at keyframes "
+                         "(the reference's schedule, map_builder.cc:639)")
     pr.add_argument("--pose-graph", dest="pose_graph", action="store_true",
                     help="run global pose-graph optimization at the end "
                          "(a global backend the reference lacks); needs "
@@ -527,6 +532,8 @@ def main(argv=None):
                     default=1)
     pl.add_argument("--matcher", choices=["superglue", "cosine"],
                     default="superglue")
+    pl.add_argument("--lazy-right", dest="lazy_right", action="store_const",
+                    const=True, default=None)
     pl.add_argument("--loop-closure", dest="loop_closure",
                     action="store_true")
     pl.add_argument("--cull-every", dest="cull_every", type=int, default=0,
@@ -553,6 +560,8 @@ def main(argv=None):
     pb.add_argument("--camera-config", dest="camera_config", default=None)
     pb.add_argument("--max-frames", dest="max_frames", type=int, default=-1)
     pb.add_argument("--no-lines", dest="no_lines", action="store_true")
+    pb.add_argument("--lazy-right", dest="lazy_right", action="store_const",
+                    const=True, default=None)
     pb.set_defaults(fn=cmd_batch)
 
     ps = sub.add_parser("synth", help="synthetic sequence with known GT")

@@ -192,6 +192,13 @@ class PipelineConfig:
     ba_max_points: int = 1536  # window landmark capacity for the BA kernel
     ba_max_lines: int = 128
     compute_dtype: str = "bfloat16"  # convnet/attention dtype
+    # Extract right-image features lazily, only when a frame becomes a
+    # keyframe — the reference's schedule (InsertKeyframe runs
+    # ExtractFeatureAndMatch on the right image, map_builder.cc:639-682;
+    # tracked frames carry left features only, so per-frame pose
+    # optimization is mono). False = extract both eyes every frame
+    # (richer stereo tracking; one batched dispatch).
+    lazy_right_extraction: bool = False
 
 
 @dataclass(frozen=True)

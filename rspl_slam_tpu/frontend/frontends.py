@@ -56,6 +56,11 @@ class FrameFeatures:
     line_has_right: np.ndarray | None = None  # (L,)
     line_members: np.ndarray | None = None  # (L, K) bool
     image: np.ndarray | None = None  # (H, W) rectified left image (viz only)
+    # lazy-right mode: the rectified right image, held until this frame
+    # becomes a keyframe and NeuralFrontend.complete_stereo runs the
+    # right-side extraction (≙ InsertKeyframe's lazy ExtractFeatureAndMatch,
+    # map_builder.cc:639-682). None once stereo association is complete.
+    pending_right: np.ndarray | None = None
 
 
 @partial(jax.jit, static_argnames=("ds",))
@@ -147,8 +152,11 @@ class NeuralFrontend:
     def __init__(self, cfg: SystemConfig, sp_params=None, sg_params=None,
                  compute_dtype=jnp.bfloat16, seed: int = 0, rcf_params=None,
                  use_lines: bool | None = None, matcher: str = "superglue",
-                 rectify: bool = True, keep_images: bool = False):
+                 rectify: bool = True, keep_images: bool = False,
+                 lazy_right: bool | None = None):
         self.cfg = cfg
+        self.lazy_right = (cfg.pipeline.lazy_right_extraction
+                           if lazy_right is None else lazy_right)
         # stash the rectified left image on each FrameFeatures so the
         # per-frame overlay publisher can draw on what the features came from
         self.keep_images = keep_images
@@ -202,8 +210,8 @@ class NeuralFrontend:
             self.rcf_params = rcf_params
 
     def _extract_lines(self, imgs):
-        """RCF edge maps → Hough segments → merge/filter, both images of the
-        (2, H, W) rectified stack — ≙ RCF::infer + LineDetector::
+        """RCF edge maps → Hough segments → merge/filter for each image of
+        the (B, H, W) rectified stack — ≙ RCF::infer + LineDetector::
         LineExtractor (map_builder.cc:98-122, line_processor.cc:455-490).
         Detection runs on a downsampled edge map with endpoints rescaled,
         matching the reference's ×0.5 resize before FLD."""
@@ -224,7 +232,7 @@ class NeuralFrontend:
             if ds > 1:
                 edges = _downsample_max(edges, ds)
         out = []
-        for b in range(2):
+        for b in range(imgs.shape[0]):
             segs, valid, _ = lops.detect_line_segments(
                 edges[b], min_length=float(ld.length_threshold),
                 inlier_dist=float(ld.distance_threshold),
@@ -239,7 +247,7 @@ class NeuralFrontend:
                     )
                 segs = lops.filter_short_lines(segs, 60.0)
             out.append(segs)
-        return out[0], out[1]
+        return tuple(out)
 
     def _match_indices(self, xy0, sc0, d0, v0, xy1, sc1, d1, v1) -> np.ndarray:
         """Batched matching of (B,...) keypoint sets → indices0 (B, K)."""
@@ -257,6 +265,8 @@ class NeuralFrontend:
         imgs = jnp.asarray(np.stack([img_l, img_r]))
         if self._rect_maps is not None:
             imgs = _remap_batch(imgs, self._rect_maps)
+        if self.lazy_right:
+            return self._extract_left_lazy(imgs)
         feats = superpoint.extract(
             self.sp_params, imgs, self.cfg.superpoint, self.compute_dtype
         )
@@ -279,6 +289,90 @@ class NeuralFrontend:
             ff = self._attach_lines(ff, imgs, xyR, validR, i0, uR)
         if self.keep_images:
             ff.image = np.asarray(imgs[0])
+        return ff
+
+    def _extract_left_lazy(self, imgs: jnp.ndarray) -> FrameFeatures:
+        """Lazy-right per-frame extraction: SuperPoint + RCF/Hough on the
+        LEFT image only; the rectified right image rides along in
+        ``pending_right`` until :meth:`complete_stereo` (≙ the reference's
+        per-frame stage A, which runs SuperPoint/FLD on the left image
+        while right-side extraction waits for keyframe insertion,
+        map_builder.cc:165-166, 639-682). Tracked frames have no stereo
+        association → pose optimization uses mono constraints, exactly like
+        the reference's non-keyframe frames."""
+        K = self.cfg.superpoint.max_keypoints
+        feats = superpoint.extract(
+            self.sp_params, imgs[:1], self.cfg.superpoint, self.compute_dtype
+        )
+        xyL = np.asarray(feats.xy[0])
+        meas = np.concatenate(
+            [xyL, np.full((K, 1), -1.0, np.float32)], -1)
+        ff = FrameFeatures(
+            xy=xyL, score=np.asarray(feats.score[0]),
+            desc=np.asarray(feats.desc[0]),
+            valid=np.asarray(feats.valid[0]),
+            meas=meas, depth=np.zeros(K, np.float32),
+            pending_right=np.asarray(imgs[1]),
+        )
+        if self.use_lines:
+            (segs_l,) = self._extract_lines(imgs[:1])
+            LN = self.cfg.line_detector.max_lines
+            lines, line_valid = _pad_lines(segs_l, LN)
+            members = np.zeros((LN, K), bool)
+            nl = int(line_valid.sum())
+            if nl:
+                from rspl_slam_tpu.ops import lines as lops
+
+                members[:nl] = lops.assign_points_to_lines(
+                    lines[:nl], ff.xy, ff.valid
+                )
+            ff.lines = lines
+            ff.line_valid = line_valid
+            ff.lines_right = np.zeros((LN, 4), np.float32)
+            ff.line_has_right = np.zeros(LN, bool)
+            ff.line_members = members
+        if self.keep_images:
+            ff.image = np.asarray(imgs[0])
+        return ff
+
+    def complete_stereo(self, ff: FrameFeatures) -> FrameFeatures:
+        """Finish a lazily-extracted frame: SuperPoint on the held right
+        image, stereo matching + disparity gating, and right-image line
+        extraction/matching — run once, when the frame becomes a keyframe
+        (≙ InsertKeyframe → ExtractFeatureAndMatch + AddRightFeatures,
+        map_builder.cc:639-682, frame.cc:150-203). No-op for frames that
+        already carry stereo. Mutates ``ff`` in place and returns it."""
+        if ff.pending_right is None:
+            return ff
+        img_r = jnp.asarray(ff.pending_right)[None]
+        featsR = superpoint.extract(
+            self.sp_params, img_r, self.cfg.superpoint, self.compute_dtype
+        )
+        i0 = self._match_indices(
+            jnp.asarray(ff.xy)[None], jnp.asarray(ff.score)[None],
+            jnp.asarray(ff.desc)[None], jnp.asarray(ff.valid)[None],
+            featsR.xy, featsR.score, featsR.desc, featsR.valid,
+        )[0]
+        xyR = np.asarray(featsR.xy[0])
+        validR = np.asarray(featsR.valid[0])
+        uR, depth = _stereo_associate(self.cfg, ff.xy, xyR, ff.valid,
+                                      validR, i0)
+        ff.meas[:, 2] = uR
+        ff.depth = depth
+        if self.use_lines and ff.lines is not None:
+            from rspl_slam_tpu.ops import lines as lops
+
+            (segs_r,) = self._extract_lines(img_r)
+            nl = int(ff.line_valid.sum())
+            if nl and len(segs_r):
+                members_r = lops.assign_points_to_lines(segs_r, xyR, validR)
+                gated = np.where(uR >= 0, i0, -1)
+                lm = lops.match_lines(ff.line_members[:nl], members_r, gated)
+                for li in range(nl):
+                    if lm[li] >= 0:
+                        ff.lines_right[li] = segs_r[lm[li]]
+                        ff.line_has_right[li] = True
+        ff.pending_right = None
         return ff
 
     def _attach_lines(self, ff: FrameFeatures, imgs, xyR, validR,
@@ -507,6 +601,10 @@ class OracleFrontend:
         assert self.poses is not None, "OracleFrontend.poses must be set"
         ff = self.observe(self.poses[self._frame_idx])
         self._frame_idx += 1
+        return ff
+
+    def complete_stereo(self, ff: FrameFeatures) -> FrameFeatures:
+        """Oracle features always carry full stereo — nothing to complete."""
         return ff
 
     def match(self, fA: FrameFeatures, fB: FrameFeatures) -> np.ndarray:

@@ -195,6 +195,10 @@ class SLAMSystem:
 
     # ----------------------------------------------------------------- init
     def _init_map(self, index: int, t: float, feats: FrameFeatures) -> FrameRecord:
+        # lazy-right mode holds back right-image extraction on tracked
+        # frames; initialization needs the full stereo gate set, so finish
+        # it here (≙ Init runs full stereo every attempt, map_builder.cc:361)
+        feats = self._complete_stereo(feats)
         n_kpts = int(feats.valid.sum())
         stereo_ok = feats.valid & (feats.depth > 0)
         if n_kpts < 150 or int(stereo_ok.sum()) < 100:
@@ -300,6 +304,15 @@ class SLAMSystem:
             rec.is_keyframe = True
             rec.kf_slot = kf
         return rec
+
+    def _complete_stereo(self, feats: FrameFeatures) -> FrameFeatures:
+        """Route through the frontend's deferred right-image extraction when
+        it has one (NeuralFrontend in lazy-right mode); frontends without
+        the method always deliver complete stereo."""
+        if getattr(feats, "pending_right", None) is None:
+            return feats
+        cs = getattr(self.frontend, "complete_stereo", None)
+        return cs(feats) if cs is not None else feats
 
     def _cap_new_landmarks(self, idx: np.ndarray) -> np.ndarray:
         """Saturate new-landmark creation at the map's fixed capacity: a
@@ -426,6 +439,10 @@ class SLAMSystem:
     def _insert_keyframe(self, index, t, Twc, feats: FrameFeatures,
                          i0: np.ndarray, inlier_row: np.ndarray) -> int:
         t0 = time.perf_counter()
+        # lazy-right mode: run the deferred right-image extraction + stereo
+        # association now, exactly where the reference does it
+        # (InsertKeyframe → ExtractFeatureAndMatch, map_builder.cc:639-682)
+        feats = self._complete_stereo(feats)
         has_lines = self.enable_lines and feats.lines is not None
         line_points = _members_to_lists(feats.line_members) if has_lines else None
         kf = self.map.add_keyframe(
