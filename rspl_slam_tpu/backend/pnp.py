@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from rspl_slam_tpu.backend import residuals as res
 from rspl_slam_tpu.backend.residuals import CameraIntrinsics
+from rspl_slam_tpu.geometry import linalg as glin
 from rspl_slam_tpu.geometry import se3
 
 __all__ = ["PnPResult", "pnp_ransac"]
@@ -50,7 +51,7 @@ def _gn_refine(K, Tcw, Xw, uv, weight, iters):
         Jw = J * w[:, None, None]
         H = jnp.einsum("nij,nik->jk", Jw, J) + 1e-6 * jnp.eye(6, dtype=Tcw.dtype)
         g = jnp.einsum("nij,ni->j", Jw, r)
-        step = -jnp.linalg.solve(H, g)
+        step = -glin.solve_spd(H, g)
         return se3.exp_se3(step) @ Tcw, None
 
     Tcw, _ = jax.lax.scan(body, Tcw, None, length=iters)

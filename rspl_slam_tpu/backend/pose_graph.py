@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rspl_slam_tpu.geometry import linalg as glin
 from rspl_slam_tpu.geometry import se3
 
 __all__ = ["PoseGraphProblem", "PoseGraphResult",
@@ -198,7 +199,7 @@ def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20,
         )
         A = Hd + jnp.diag(diag_boost)
         b = (g * mfree[:, None]).reshape(6 * F)
-        dx = -jnp.linalg.solve(A, b).reshape(F, 6)
+        dx = -glin.solve_spd(A, b).reshape(F, 6)
         dx = dx * mfree[:, None]
         Tnew = jax.vmap(lambda x, T: se3.compose(se3.exp_se3(x), T))(dx, Tcw)
         new_cost = cost_fn(Tnew)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from rspl_slam_tpu.backend import residuals as res
 from rspl_slam_tpu.backend.residuals import CameraIntrinsics
+from rspl_slam_tpu.geometry import linalg as glin
 from rspl_slam_tpu.geometry import se3
 
 __all__ = ["PoseOnlyResult", "optimize_pose"]
@@ -76,7 +77,7 @@ def _lm_rounds(
         g = jnp.einsum("nij,ni->j", Jw, r)
         # LM step with multiplicative damping on the diagonal (g2o-style)
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6, dtype=dtype)
-        step = -jnp.linalg.solve(Hd, g)
+        step = -glin.solve_spd(Hd, g)  # damped SPD: Cholesky, no pivot chain
         Tcw_new = se3.exp_se3(step) @ Tcw
         # accept if total weighted chi2 decreased
         cost_old = jnp.sum(jnp.where(w > 0, chi2, 0.0) * jnp.minimum(w, 1.0))

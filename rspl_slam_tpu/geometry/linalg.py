@@ -1,0 +1,111 @@
+"""Closed-form small-matrix linear algebra for the jitted solvers.
+
+On TPU, ``jnp.linalg.inv`` / ``jnp.linalg.solve`` lower to a pivoted-LU
+routine built from sequential scalar steps — correct, but catastrophically
+slow for the *batched tiny* systems SLAM solves everywhere. Measured on
+v5e at the local-BA shapes (tools/profile_linalg.py, chained on-device
+scan):
+
+    inv of (512, 3, 3)  : 428.6 us (linalg.inv)  →   ~0 us (adjugate)
+    inv of (L, 4, 4)    :  10.8 us (linalg.inv)  →    5 us (block Schur)
+    solve 60×60         :  43.8 us (linalg.solve) →  ~0 us (Cholesky)
+
+The adjugate/cofactor forms are pure VPU elementwise math that XLA fuses
+into the surrounding assembly; Cholesky replaces LU's per-column pivot
+chain with triangular solves. One local-BA LM iteration spends ~0.44 ms
+of its 0.85 ms in these three calls (tools/profile_ba.py), so this module
+roughly halves the bundle-adjustment step.
+
+Numerics: the BA/pose systems are damped SPD normal equations (H = JᵀWJ +
+λ·diag + εI), exactly the regime where the closed forms are stable. The
+general 3×3 adjugate is also used for the non-symmetric V-matrix inverse
+in the SE(3) exponential chart (se3.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["inv3", "inv4_spd", "solve3", "solve_spd"]
+
+
+def inv3(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form inverse of (..., 3, 3) via the adjugate."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    adj = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], -1),
+            jnp.stack([A21, A22, A23], -1),
+            jnp.stack([A31, A32, A33], -1),
+        ],
+        -2,
+    )
+    return adj / det[..., None, None]
+
+
+def solve3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., 3, 3) @ x = (..., 3) solve via the adjugate inverse."""
+    return jnp.einsum("...ij,...j->...i", inv3(A), b)
+
+
+def _inv2(M: jnp.ndarray) -> jnp.ndarray:
+    a, b = M[..., 0, 0], M[..., 0, 1]
+    c, d = M[..., 1, 0], M[..., 1, 1]
+    det = a * d - b * c
+    row0 = jnp.stack([d, -b], -1)
+    row1 = jnp.stack([-c, a], -1)
+    return jnp.stack([row0, row1], -2) / det[..., None, None]
+
+
+def inv4_spd(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse of symmetric positive-definite (..., 4, 4) matrices
+    by 2×2 block inversion (Schur complement) with closed-form 2×2s.
+
+    SPD guarantees both the top-left block and its Schur complement are
+    invertible. Not valid for general (indefinite) matrices.
+    """
+    P = A[..., :2, :2]
+    Q = A[..., :2, 2:]
+    R = A[..., 2:, :2]
+    S = A[..., 2:, 2:]
+    Pi = _inv2(P)
+    Mi = _inv2(S - R @ Pi @ Q)
+    PiQ = Pi @ Q
+    TL = Pi + PiQ @ Mi @ R @ Pi
+    TR = -PiQ @ Mi
+    BL = -Mi @ R @ Pi
+    top = jnp.concatenate([TL, TR], -1)
+    bot = jnp.concatenate([BL, Mi], -1)
+    return jnp.concatenate([top, bot], -2)
+
+
+def solve_spd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b for symmetric positive-definite A (batched ok) via
+    Cholesky + two triangular solves — no pivoting chain.
+
+    ``b`` may be (..., N) or (..., N, K).
+    """
+    L = jax.lax.linalg.cholesky(A)
+    vec = b.ndim == A.ndim - 1
+    if vec:
+        b = b[..., None]
+    y = jax.lax.linalg.triangular_solve(
+        L, b, left_side=True, lower=True, transpose_a=False
+    )
+    x = jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True
+    )
+    return x[..., 0] if vec else x

@@ -49,7 +49,9 @@ def triangulate_point_multiview(
     # Rank / conditioning check via eigenvalues of the SPD 3×3.
     w = jnp.linalg.eigvalsh(A)
     ok_rank = w[0] > 1e-6 * jnp.maximum(w[2], 1e-12)
-    x = jnp.linalg.solve(A + 1e-9 * jnp.eye(3, dtype=A.dtype), b)
+    from rspl_slam_tpu.geometry.linalg import solve3
+
+    x = solve3(A + 1e-9 * jnp.eye(3, dtype=A.dtype), b)
     # Cheirality: point must be in front of every observing camera.
     p_cam_z = jnp.einsum("mi,mi->m", d_w, (x[None] - t))
     ok_cheir = jnp.all(jnp.where(mask, p_cam_z > 0, True))

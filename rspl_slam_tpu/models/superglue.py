@@ -194,6 +194,15 @@ def _apply_mlp(mlp, x, compute_dtype, final_act=False):
     return x
 
 
+def _proj(lin, t, compute_dtype):
+    return (
+        jnp.einsum("bkc,cd->bkd", t.astype(compute_dtype),
+                   lin["w"].astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+        + lin["b"]
+    )
+
+
 def _attention(layer, x, source, src_mask, num_heads, compute_dtype):
     """Multi-head attention x ← attend(x → source) with masked keys.
 
@@ -201,18 +210,16 @@ def _attention(layer, x, source, src_mask, num_heads, compute_dtype):
     """
     B, K, C = x.shape
     dh = C // num_heads
+    q = _proj(layer["q"], x, compute_dtype).reshape(B, K, num_heads, dh)
+    k = _proj(layer["k"], source, compute_dtype).reshape(B, -1, num_heads, dh)
+    v = _proj(layer["v"], source, compute_dtype).reshape(B, -1, num_heads, dh)
+    msg = _attend(q, k, v, src_mask, compute_dtype).reshape(B, K, C)
+    return _proj(layer["merge"], msg, compute_dtype)
 
-    def proj(lin, t):
-        return (
-            jnp.einsum("bkc,cd->bkd", t.astype(compute_dtype),
-                       lin["w"].astype(compute_dtype),
-                       preferred_element_type=jnp.float32)
-            + lin["b"]
-        )
 
-    q = proj(layer["q"], x).reshape(B, K, num_heads, dh)
-    k = proj(layer["k"], source).reshape(B, -1, num_heads, dh)
-    v = proj(layer["v"], source).reshape(B, -1, num_heads, dh)
+def _attend(q, k, v, src_mask, compute_dtype):
+    """Masked softmax attention on (B, K, H, dh) tensors → (B, K, H, dh)."""
+    dh = q.shape[-1]
     logits = jnp.einsum("bqhd,bshd->bhqs", q.astype(compute_dtype),
                         k.astype(compute_dtype),
                         preferred_element_type=jnp.float32) / jnp.sqrt(
@@ -220,11 +227,9 @@ def _attention(layer, x, source, src_mask, num_heads, compute_dtype):
     )
     logits = jnp.where(src_mask[:, None, None, :], logits, -1e9)
     probs = jax.nn.softmax(logits, axis=-1)
-    msg = jnp.einsum("bhqs,bshd->bqhd", probs.astype(compute_dtype),
-                     v.astype(compute_dtype),
-                     preferred_element_type=jnp.float32)
-    msg = msg.reshape(B, K, C)
-    return proj(layer["merge"], msg)
+    return jnp.einsum("bhqs,bshd->bqhd", probs.astype(compute_dtype),
+                      v.astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
 
 
 class MatchResult:
@@ -268,37 +273,68 @@ def match_pair(
 
     enc_in0 = jnp.concatenate([kxy0, score0[..., None]], -1)  # (B, M, 3)
     enc_in1 = jnp.concatenate([kxy1, score1[..., None]], -1)
-    d0 = desc0 + _apply_mlp(params["kenc"], enc_in0, compute_dtype)
-    d1 = desc1 + _apply_mlp(params["kenc"], enc_in1, compute_dtype)
 
-    for li, layer in enumerate(params["gnn"]):
-        cross = li % 2 == 1  # layers alternate self, cross, self, cross, ...
-        src0, sm0 = (d1, mask1) if cross else (d0, mask0)
-        src1, sm1 = (d0, mask0) if cross else (d1, mask1)
-        delta0 = _apply_mlp(
-            layer["mlp"],
-            jnp.concatenate(
-                [d0, _attention(layer, d0, src0, sm0, cfg.num_heads, compute_dtype)], -1
-            ),
+    B, M, _ = desc0.shape
+    N = desc1.shape[1]
+    if M == N:
+        # Both sides share every weight (kenc, q/k/v/merge, mlp, final_proj),
+        # so stack them along the batch axis and run each projection as ONE
+        # matmul on (2B, K, C) instead of two on (B, K, C) — at K≈400 the
+        # per-layer matmuls are latency-bound, so halving the dispatch count
+        # nearly halves GNN time. Self layers attend within each half; cross
+        # layers just swap the halves of the (pointwise) k/v projections.
+        H = cfg.num_heads
+        x = jnp.concatenate([desc0, desc1], 0) + _apply_mlp(
+            params["kenc"], jnp.concatenate([enc_in0, enc_in1], 0),
             compute_dtype,
-        )
-        delta1 = _apply_mlp(
-            layer["mlp"],
-            jnp.concatenate(
-                [d1, _attention(layer, d1, src1, sm1, cfg.num_heads, compute_dtype)], -1
-            ),
-            compute_dtype,
-        )
-        d0 = d0 + delta0
-        d1 = d1 + delta1
-
-    fp = params["final_proj"]
-    md0 = jnp.einsum("bkc,cd->bkd", d0.astype(compute_dtype),
-                     fp["w"].astype(compute_dtype),
-                     preferred_element_type=jnp.float32) + fp["b"]
-    md1 = jnp.einsum("bkc,cd->bkd", d1.astype(compute_dtype),
-                     fp["w"].astype(compute_dtype),
-                     preferred_element_type=jnp.float32) + fp["b"]
+        )  # (2B, K, C)
+        masks = jnp.concatenate([mask0, mask1], 0)  # (2B, K)
+        flip = lambda t: jnp.concatenate([t[B:], t[:B]], 0)
+        masks_flip = flip(masks)
+        for li, layer in enumerate(params["gnn"]):
+            cross = li % 2 == 1
+            C = x.shape[-1]
+            q = _proj(layer["q"], x, compute_dtype).reshape(2 * B, M, H, -1)
+            k = _proj(layer["k"], x, compute_dtype).reshape(2 * B, M, H, -1)
+            v = _proj(layer["v"], x, compute_dtype).reshape(2 * B, M, H, -1)
+            if cross:  # pointwise projections commute with the half-swap
+                k, v = flip(k), flip(v)
+            msg = _attend(
+                q, k, v, masks_flip if cross else masks, compute_dtype
+            ).reshape(2 * B, M, C)
+            msg = _proj(layer["merge"], msg, compute_dtype)
+            x = x + _apply_mlp(
+                layer["mlp"], jnp.concatenate([x, msg], -1), compute_dtype
+            )
+        md = _proj(params["final_proj"], x, compute_dtype)
+        md0, md1 = md[:B], md[B:]
+    else:
+        d0 = desc0 + _apply_mlp(params["kenc"], enc_in0, compute_dtype)
+        d1 = desc1 + _apply_mlp(params["kenc"], enc_in1, compute_dtype)
+        for li, layer in enumerate(params["gnn"]):
+            cross = li % 2 == 1  # layers alternate self, cross, self, ...
+            src0, sm0 = (d1, mask1) if cross else (d0, mask0)
+            src1, sm1 = (d0, mask0) if cross else (d1, mask1)
+            delta0 = _apply_mlp(
+                layer["mlp"],
+                jnp.concatenate(
+                    [d0, _attention(layer, d0, src0, sm0, cfg.num_heads,
+                                    compute_dtype)], -1
+                ),
+                compute_dtype,
+            )
+            delta1 = _apply_mlp(
+                layer["mlp"],
+                jnp.concatenate(
+                    [d1, _attention(layer, d1, src1, sm1, cfg.num_heads,
+                                    compute_dtype)], -1
+                ),
+                compute_dtype,
+            )
+            d0 = d0 + delta0
+            d1 = d1 + delta1
+        md0 = _proj(params["final_proj"], d0, compute_dtype)
+        md1 = _proj(params["final_proj"], d1, compute_dtype)
     sim = jnp.einsum("bmc,bnc->bmn", md0.astype(compute_dtype),
                      md1.astype(compute_dtype),
                      preferred_element_type=jnp.float32) / jnp.sqrt(

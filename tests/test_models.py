@@ -316,6 +316,43 @@ class TestSuperGlue:
         # no valid row matched to an invalid column
         assert all(m < 9 for m in i0[:7] if m >= 0)
 
+    def test_stacked_equals_unstacked(self):
+        """M == N routes through the side-stacked GNN (one matmul per
+        projection for both descriptor sets); padding side 1 with one
+        masked slot forces the two-sided path. A masked slot is invisible
+        to attention and Sinkhorn, so valid-slot outputs must agree."""
+        cfg = SuperGlueConfig(num_gnn_layers=4, sinkhorn_iterations=30)
+        params = superglue.init_params(jax.random.PRNGKey(2), cfg)
+        K = 16
+        rng = np.random.default_rng(6)
+        mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+        xy0, xy1 = (jnp.abs(mk(1, K, 2)) * 100 for _ in range(2))
+        sc0, sc1 = (jnp.abs(mk(1, K)) for _ in range(2))
+        d0, d1 = mk(1, K, 256), mk(1, K, 256)
+        ones = jnp.ones((1, K), bool)
+        res_a = superglue.match_pair(
+            params, xy0, sc0, d0, ones, xy1, sc1, d1, ones, cfg,
+            compute_dtype=jnp.float32,
+        )
+
+        def pad(t):
+            w = [(0, 0)] * t.ndim
+            w[1] = (0, 1)
+            return jnp.pad(t, w)
+
+        mask1p = jnp.asarray(np.arange(K + 1) < K)[None]
+        res_b = superglue.match_pair(
+            params, xy0, sc0, d0, ones, pad(xy1), pad(sc1), pad(d1),
+            mask1p, cfg, compute_dtype=jnp.float32,
+        )
+        np.testing.assert_array_equal(np.asarray(res_a.indices0),
+                                      np.asarray(res_b.indices0))
+        np.testing.assert_array_equal(np.asarray(res_a.indices1),
+                                      np.asarray(res_b.indices1)[:, :K])
+        np.testing.assert_allclose(np.asarray(res_a.mscores0),
+                                   np.asarray(res_b.mscores0),
+                                   rtol=0, atol=1e-4)
+
 
 class TestRCF:
     def test_edge_map_shape_range(self):
