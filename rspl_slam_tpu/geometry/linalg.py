@@ -27,7 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["inv3", "inv4_spd", "solve3", "solve_spd"]
+__all__ = ["inv3", "inv4_spd", "solve3", "solve_spd", "eigvalsh3"]
 
 
 def inv3(A: jnp.ndarray) -> jnp.ndarray:
@@ -90,6 +90,35 @@ def inv4_spd(A: jnp.ndarray) -> jnp.ndarray:
     top = jnp.concatenate([TL, TR], -1)
     bot = jnp.concatenate([BL, Mi], -1)
     return jnp.concatenate([top, bot], -2)
+
+
+def eigvalsh3(A: jnp.ndarray) -> jnp.ndarray:
+    """Eigenvalues of symmetric (..., 3, 3) matrices, ascending — the
+    closed-form trigonometric (Cardano) solution of the characteristic
+    cubic, replacing ``jnp.linalg.eigvalsh``'s iterative TPU path for the
+    batched rank checks in multi-view triangulation."""
+    a00, a11, a22 = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
+    a01, a02, a12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    d0, d1, d2 = a00 - q, a11 - q, a22 - q
+    p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    ps = jnp.maximum(p, 1e-30)  # A ≈ q·I ⇒ all eigenvalues q (r moot)
+    # r = det((A − q·I)/p) / 2, clamped for acos
+    B00, B11, B22 = d0 / ps, d1 / ps, d2 / ps
+    B01, B02, B12 = a01 / ps, a02 / ps, a12 / ps
+    detB = (
+        B00 * (B11 * B22 - B12 * B12)
+        - B01 * (B01 * B22 - B12 * B02)
+        + B02 * (B01 * B12 - B11 * B02)
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lmax = q + 2.0 * p * jnp.cos(phi)
+    lmin = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lmid = 3.0 * q - lmax - lmin
+    return jnp.stack([lmin, lmid, lmax], -1)
 
 
 def solve_spd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

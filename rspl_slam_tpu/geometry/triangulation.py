@@ -46,10 +46,12 @@ def triangulate_point_multiview(
     P = P * m[:, None, None]
     A = jnp.sum(P, 0)  # (3,3)
     b = jnp.sum(jnp.einsum("mij,mj->mi", P, t), 0)
-    # Rank / conditioning check via eigenvalues of the SPD 3×3.
-    w = jnp.linalg.eigvalsh(A)
-    ok_rank = w[0] > 1e-6 * jnp.maximum(w[2], 1e-12)
-    from rspl_slam_tpu.geometry.linalg import solve3
+    # Rank / conditioning check via eigenvalues of the SPD 3×3
+    # (closed-form: batched eigvalsh is an iterative loop on TPU).
+    from rspl_slam_tpu.geometry.linalg import eigvalsh3, solve3
+
+    w = eigvalsh3(A)
+    ok_rank = w[..., 0] > 1e-6 * jnp.maximum(w[..., 2], 1e-12)
 
     x = solve3(A + 1e-9 * jnp.eye(3, dtype=A.dtype), b)
     # Cheirality: point must be in front of every observing camera.

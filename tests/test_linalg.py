@@ -68,6 +68,29 @@ def test_solve_spd_batched_matrix_rhs():
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
 
 
+def test_eigvalsh3_matches_lapack():
+    rng = np.random.default_rng(7)
+    A = _spd(rng, 256, 3, boost=1.0)
+    got = np.asarray(glin.eigvalsh3(jnp.asarray(A)))
+    want = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
+    # near-singular (rank-2) matrices: the rank-check regime
+    v = rng.standard_normal((32, 3, 1)).astype(np.float32)
+    A2 = (np.eye(3) - v @ v.transpose(0, 2, 1)
+          / np.sum(v * v, axis=1, keepdims=True))
+    A2 = (A2 + A2.transpose(0, 2, 1)) / 2
+    got2 = np.asarray(glin.eigvalsh3(jnp.asarray(A2.astype(np.float32))))
+    want2 = np.linalg.eigvalsh(A2)
+    # f32 Cardano splits a repeated eigenvalue by ~1e-4 (sqrt-eps regime,
+    # same for any root-finder); the rank check uses the min/max ratio,
+    # where this is noise
+    np.testing.assert_allclose(got2, want2, rtol=0, atol=5e-4)
+    # isotropic A = q*I: all eigenvalues q, no NaNs from the p=0 guard
+    iso = np.tile(2.5 * np.eye(3, dtype=np.float32), (4, 1, 1))
+    got3 = np.asarray(glin.eigvalsh3(jnp.asarray(iso)))
+    np.testing.assert_allclose(got3, np.full((4, 3), 2.5), atol=1e-6)
+
+
 def test_jittable_and_differentiable():
     # the solvers run under jit and (for training paths) under grad
     rng = np.random.default_rng(6)
