@@ -66,6 +66,24 @@ def main():
         f = superpoint.extract(params, im, sp_cfg)
         return f.xy, f.desc
 
+    # post-process sub-steps on the cell layout (the production path)
+    from rspl_slam_tpu.models.superpoint import _forward_cell
+    from rspl_slam_tpu.ops.keypoints import (sample_descriptors,
+                                             simple_nms_cell,
+                                             top_k_keypoints_cell)
+
+    def pfx_nms(im):
+        probs, desc = _forward_cell(params, im, cd)
+        return simple_nms_cell(probs, sp_cfg.nms_radius), desc
+
+    def pfx_topk(im):
+        s, desc = pfx_nms(im)
+        out = jax.vmap(lambda ss: top_k_keypoints_cell(
+            ss, sp_cfg.max_keypoints, sp_cfg.keypoint_threshold,
+            sp_cfg.remove_borders))(s)
+        return out + (desc,)
+
+
     def chained(stage, iters=50):
         @jax.jit
         def run(im):
@@ -92,6 +110,8 @@ def main():
         ("+stage3", pfx_s3),
         ("+stage4", pfx_s4),
         ("+heads", pfx_heads),
+        ("+cell nms", pfx_nms),
+        ("+topk", pfx_topk),
         ("full extract()", full_extract),
     ]:
         run = chained(stage)
