@@ -194,8 +194,14 @@ def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20,
         m2 = mfree[:, None, None, None] * mfree[None, None, :, None]
         Hm = H * m2
         Hd = Hm.reshape(6 * F, 6 * F)
+        # relative damping floor: an isolated free pose (no constraints)
+        # has a zero diagonal block, and an absolute 1e-9 boost is below
+        # f32 roundoff of its neighbors — Cholesky could hit a non-positive
+        # pivot. Scale the floor by the largest diagonal entry instead so
+        # unconstrained poses stay safely PD and simply don't move.
+        floor = 1e-6 * jnp.maximum(jnp.max(jnp.diag(Hd)), 1e-12) + 1e-12
         diag_boost = jnp.where(
-            jnp.repeat(mfree, 6) > 0, lam * jnp.diag(Hd) + 1e-9, 1.0
+            jnp.repeat(mfree, 6) > 0, lam * jnp.diag(Hd) + floor, 1.0
         )
         A = Hd + jnp.diag(diag_boost)
         b = (g * mfree[:, None]).reshape(6 * F)

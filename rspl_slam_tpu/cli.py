@@ -178,6 +178,9 @@ def _finish_run(slam, args, publisher):
     if getattr(args, "save_map", None):
         slam.save_map(args.save_map)
         print(f"map → {args.save_map}")
+    if getattr(args, "save_map_text", None):
+        slam.map.save_map_text(args.save_map_text)
+        print(f"text map → {args.save_map_text}")
     if getattr(args, "viz_dir", None):
         _dump_viz(slam, args.viz_dir)
     _print_timings(slam)
@@ -478,6 +481,9 @@ def main(argv=None):
     pr.add_argument("--camera-config", dest="camera_config", default=None)
     pr.add_argument("--traj-path", dest="traj_path", default="trajectory.txt")
     pr.add_argument("--save-map", dest="save_map", default=None)
+    pr.add_argument("--save-map-text", dest="save_map_text", default=None,
+                    help="also dump the map in the reference's SaveMap text "
+                         "layout (map.cc:1026-1077)")
     pr.add_argument("--resume-map", dest="resume_map", default=None,
                     help="resume from a saved map checkpoint (npz) instead "
                          "of initializing from scratch")

@@ -31,7 +31,15 @@ __all__ = ["inv3", "inv4_spd", "solve3", "solve_spd", "eigvalsh3"]
 
 
 def inv3(A: jnp.ndarray) -> jnp.ndarray:
-    """Batched closed-form inverse of (..., 3, 3) via the adjugate."""
+    """Batched closed-form inverse of (..., 3, 3) via the adjugate.
+
+    Precondition: A must be nonsingular — the adjugate form divides by
+    det(A) with no guard, so a singular input yields inf/NaN silently
+    (matching what an unpivoted solve would do). In-repo callers satisfy
+    this by construction: damped SPD normal-equation blocks, and the
+    V(w) matrix of the SE(3) exponential chart, which is invertible for
+    ‖w‖ < 2π (the domain log_se3 produces).
+    """
     a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
     g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
@@ -57,7 +65,10 @@ def inv3(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Batched (..., 3, 3) @ x = (..., 3) solve via the adjugate inverse."""
+    """Batched (..., 3, 3) @ x = (..., 3) solve via the adjugate inverse.
+
+    Same precondition as :func:`inv3`: A nonsingular (no det guard).
+    """
     return jnp.einsum("...ij,...j->...i", inv3(A), b)
 
 

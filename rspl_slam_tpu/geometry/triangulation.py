@@ -50,8 +50,13 @@ def triangulate_point_multiview(
     # (closed-form: batched eigvalsh is an iterative loop on TPU).
     from rspl_slam_tpu.geometry.linalg import eigvalsh3, solve3
 
+    # Threshold 1e-4 relative: safely above the f32 Cardano noise floor
+    # (~sqrt(eps)·scale perturbation of the smallest root on near-degenerate
+    # spectra — see test_linalg.py), so borderline rank decisions don't flip
+    # on roundoff. Rays spanning even ~1° of parallax clear this by orders
+    # of magnitude; truly degenerate (collinear-ray) systems sit below it.
     w = eigvalsh3(A)
-    ok_rank = w[..., 0] > 1e-6 * jnp.maximum(w[..., 2], 1e-12)
+    ok_rank = w[..., 0] > 1e-4 * jnp.maximum(w[..., 2], 1e-12)
 
     x = solve3(A + 1e-9 * jnp.eye(3, dtype=A.dtype), b)
     # Cheirality: point must be in front of every observing camera.

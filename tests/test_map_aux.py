@@ -180,3 +180,29 @@ class TestVizAndCLI:
                   "--input", pth, "--output", out])
         data = np.load(out)
         assert any("conv1a" in k for k in data.files)
+
+
+class TestSaveMapText:
+    def test_text_dump_layout(self, tmp_path):
+        """save_map_text writes the reference's SaveMap layout (map.cc:
+        1026-1077): keyframe_<frame_id>.txt per keyframe with
+        'track u v ur' rows, plus mappoints.txt with 'id x y z'."""
+        m, cam = small_store()
+        rng = np.random.default_rng(5)
+        meas = np.zeros((16, 3))
+        meas[:, :2] = rng.uniform(0, 400, (16, 2))
+        meas[:, 2] = -1.0
+        descs = rng.standard_normal((16, 32)).astype(np.float32)
+        kf = m.add_keyframe(7, 0.0, np.eye(4), meas, np.ones(16, bool),
+                            descs, np.ones(16, np.float32))
+        pt = m.new_mappoint(np.array([1.0, 2.0, 3.0]), descs[0])
+        m.add_point_obs(pt, kf, 0)
+        d = tmp_path / "map_text"
+        m.save_map_text(str(d))
+        kf_file = d / "keyframe_7.txt"
+        assert kf_file.exists()
+        rows = kf_file.read_text().strip().splitlines()
+        assert len(rows) == 16
+        assert int(rows[0].split()[0]) == pt  # track id of keypoint 0
+        mp = (d / "mappoints.txt").read_text().split()
+        assert [float(x) for x in mp[:4]] == [pt, 1.0, 2.0, 3.0]
