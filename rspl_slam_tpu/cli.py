@@ -41,10 +41,24 @@ def _build_slam(args, use_lines=None, rectify=True):
     from rspl_slam_tpu.slam import SLAMSystem
 
     cfg = load_system_config(args.config, args.camera_config)
-    if use_lines is not None:
-        import dataclasses
+    import dataclasses
 
+    if use_lines is not None:
         cfg = dataclasses.replace(cfg, use_lines=use_lines)
+    # --sp-weights / --sg-weights / --rcf-weights override the config's
+    # model paths (≙ the reference's model_dir-joined engine paths,
+    # read_configs.h:87-178) so real checkpoints drop in from the command
+    # line: `rspl-slam run --dataroot <euroc> --sp-weights sp.pth --gt
+    # <gt> ...` is the one-command real-data ATE flow.
+    if getattr(args, "sp_weights", None):
+        cfg = dataclasses.replace(cfg, superpoint=dataclasses.replace(
+            cfg.superpoint, weights_path=args.sp_weights))
+    if getattr(args, "sg_weights", None):
+        cfg = dataclasses.replace(cfg, superglue=dataclasses.replace(
+            cfg.superglue, weights_path=args.sg_weights))
+    if getattr(args, "rcf_weights", None):
+        cfg = dataclasses.replace(cfg, line_detector=dataclasses.replace(
+            cfg.line_detector, rcf_weights_path=args.rcf_weights))
     fe = NeuralFrontend(cfg, matcher=getattr(args, "matcher", "superglue"),
                         rectify=rectify,
                         lazy_right=getattr(args, "lazy_right", None))
@@ -175,6 +189,18 @@ def _finish_run(slam, args, publisher):
             print("global BA: skipped (map too small)")
     slam.save_trajectory(args.traj_path)
     print(f"trajectory → {args.traj_path}")
+    if getattr(args, "gt", None):
+        gt = _load_gt(args.gt)
+        if gt is None:
+            print(f"ground truth not found at {args.gt}")
+        else:
+            from rspl_slam_tpu.evaluation import absolute_trajectory_error
+
+            t_est, p_est = slam.map.keyframe_trajectory()
+            res = absolute_trajectory_error(
+                np.asarray(t_est), np.asarray(p_est)[:, :3, 3], gt[0], gt[1]
+            )
+            print("ATE:", json.dumps(res))
     if getattr(args, "save_map", None):
         slam.save_map(args.save_map)
         print(f"map → {args.save_map}")
@@ -324,6 +350,23 @@ def cmd_eval(args):
         t_est, p_est[:, :3, 3], t_gt, p_gt[:, :3, 3], max_dt=args.max_dt
     )
     print(json.dumps(res, indent=2))
+
+
+def _load_gt(path: str):
+    """(times, positions) from a ground-truth spec: a sequence directory
+    (EuRoC layout), a raw EuRoC csv, or a TUM trajectory file."""
+    from rspl_slam_tpu.datasets import read_tum_trajectory
+
+    if os.path.isdir(path):
+        return _find_ground_truth(path)
+    if not os.path.exists(path):
+        return None
+    if path.endswith(".csv"):
+        rows = np.loadtxt(path, delimiter=",", comments="#",
+                          usecols=range(4))
+        return rows[:, 0] * 1e-9, rows[:, 1:4]
+    t, p = read_tum_trajectory(path)
+    return t, p[:, :3, 3]
 
 
 def _find_ground_truth(seq_dir: str):
@@ -496,6 +539,16 @@ def main(argv=None):
                     help="disable the native C++ prefetcher")
     pr.add_argument("--overlay-stride", dest="overlay_stride", type=int,
                     default=1, help="dump a feature overlay every Nth frame")
+    pr.add_argument("--gt", default=None,
+                    help="ground truth (TUM file, EuRoC csv, or sequence "
+                         "dir) — prints keyframe ATE after the run")
+    pr.add_argument("--sp-weights", dest="sp_weights", default=None,
+                    help="SuperPoint checkpoint (.pth/.npz) overriding the "
+                         "config path")
+    pr.add_argument("--sg-weights", dest="sg_weights", default=None,
+                    help="SuperGlue checkpoint (.pth/.npz)")
+    pr.add_argument("--rcf-weights", dest="rcf_weights", default=None,
+                    help="RCF checkpoint (.pth/.npz)")
     pr.add_argument("--matcher", choices=["superglue", "cosine"],
                     default="superglue",
                     help="cosine = mutual-NN on descriptors (works with "
