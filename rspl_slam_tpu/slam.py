@@ -61,6 +61,20 @@ def _members_to_lists(members: np.ndarray | None, width: int = 32) -> np.ndarray
     return out
 
 
+def _pad_pow2_batch(arrs: list, masks: list, P: int):
+    """Stack per-line point sets and pad the batch dim to the next power
+    of two (all-False masks on padded rows) so the vmapped triangulation
+    kernels compile for a handful of bucket sizes instead of every
+    distinct line count."""
+    B = len(arrs)
+    cap = 1 << (B - 1).bit_length() if B > 1 else 1
+    arr = np.zeros((cap, P, 3))
+    mask = np.zeros((cap, P), bool)
+    arr[:B] = np.stack(arrs)
+    mask[:B] = np.stack(masks)
+    return arr, mask
+
+
 @dataclass
 class FrameRecord:
     frame_id: int
@@ -77,10 +91,18 @@ class SLAMSystem:
                  enable_loop_closure: bool = False,
                  enable_relocalization: bool | None = None,
                  reloc_after: int = 3,
-                 global_ba_on_loop: bool = False):
+                 global_ba_on_loop: bool = False,
+                 fused_tracking: bool | None = None):
         self.cfg = cfg
         self.frontend = frontend
         self.enable_ba = enable_ba
+        # fused tracking (match+PnP+LM in one dispatch, fused_track.py)
+        # auto-enables for frontends with a device-side matcher
+        if fused_tracking is None:
+            fused_tracking = getattr(frontend, "matcher", None) in (
+                "superglue", "cosine")
+        self._fused_enabled = fused_tracking
+        self._fused = None
         self.enable_lines = cfg.use_lines if enable_lines is None else enable_lines
         cam = cfg.camera
         self.K = CameraIntrinsics(cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
@@ -239,12 +261,38 @@ class SLAMSystem:
         return FrameRecord(index, t, Twc, True, kf, created)
 
     # ------------------------------------------------------------- tracking
+    def _fused_track(self, feats: FrameFeatures):
+        """One-dispatch temporal match + association + PnP + pose LM
+        (fused_track.FusedTracker). Returns (i0, (Twc, n_inl, inlier))."""
+        if self._fused is None:
+            from rspl_slam_tpu.fused_track import FusedTracker
+
+            tcfg = self.cfg.optimization.tracking
+            self._fused = FusedTracker(self.frontend, self.K,
+                                       tcfg.mono_point, tcfg.stereo_point)
+        self.key, k = jax.random.split(self.key)
+        ref_pt = self.map.kf_track[self._ref_kf]
+        safe = np.maximum(ref_pt, 0)
+        ref_good = (ref_pt >= 0) & (
+            self.map.pt_status[safe] == map_store.PT_GOOD)
+        ref_pos = self.map.pt_pos[safe]
+        i0, Twc, n_inl, inlier = self._fused.track(
+            feats, self._ref_feats, ref_pos, ref_good, self._last_Twc, k)
+        # post-LM sanity jump check, same as the slow path
+        if np.linalg.norm(Twc[:3, 3] - self._last_Twc[:3, 3]) > 0.5:
+            Twc = self._last_Twc.copy()
+        return i0, (Twc, n_inl, inlier)
+
     def _track(self, index: int, t: float, feats: FrameFeatures,
                i0: np.ndarray | None = None) -> FrameRecord:
         t0 = time.perf_counter()
-        if i0 is None:
+        fused_pose = None
+        if i0 is None and self._fused_enabled:
+            i0, fused_pose = self._fused_track(feats)
+            self._t("track_fused", t0)
+        elif i0 is None:
             i0 = self.frontend.match(feats, self._ref_feats)
-        self._t("match", t0)
+            self._t("match", t0)
         num_match = int((i0 >= 0).sum())
 
         # relocalization (capability the reference lacks): after
@@ -268,6 +316,7 @@ class SLAMSystem:
                 self.reloc_count += 1
                 i0 = self.frontend.match(feats, self._ref_feats)
                 num_match = int((i0 >= 0).sum())
+                fused_pose = None  # re-anchored: redo the pose solve
             self._t("reloc", t0)
 
         # fallback: weak association with the ref keyframe → promote the
@@ -286,8 +335,12 @@ class SLAMSystem:
             self._promote_last_frame_to_keyframe()
             i0 = self.frontend.match(feats, self._ref_feats)
             num_match = int((i0 >= 0).sum())
+            fused_pose = None  # re-anchored: redo the pose solve
 
-        Twc, n_inl, inlier_row = self._pose_optimize(feats, i0)
+        if fused_pose is not None:
+            Twc, n_inl, inlier_row = fused_pose
+        else:
+            Twc, n_inl, inlier_row = self._pose_optimize(feats, i0)
         track_ok = n_inl >= max(self.cfg.keyframe.min_num_match, 10)
         if not track_ok:
             Twc = self._last_Twc.copy()
@@ -603,10 +656,19 @@ class SLAMSystem:
         return self.map.pt_pos[pts_idx]
 
     def _triangulate_keyframe_maplines(self, kf: int, feats: FrameFeatures):
-        from rspl_slam_tpu.geometry import triangulation as tri
+        """(Re)fit 3D lines for every mapline observed by this keyframe in
+        ONE vmapped device call — the per-line Python dispatch loop this
+        replaces cost up to max_lines round trips per keyframe insertion
+        (≙ the reference's per-line TriangulateMaplineByMappoints loop,
+        map.cc:74-97, which is serial CPU)."""
+        import jax
         import jax.numpy as jnp
 
+        from rspl_slam_tpu.geometry import triangulation as tri
+
         nl = int(feats.line_valid.sum())
+        P = 32
+        lns, arrs, masks = [], [], []
         for li in range(nl):
             ln = self.map.kf_line_track[kf, li]
             if ln < 0:
@@ -616,17 +678,23 @@ class SLAMSystem:
             # second viewpoint before accepting a 3D line
             if len(pts) < 3 or self.map.ln_obs_n[ln] < 2:
                 continue
-            P = 32
             arr = np.zeros((P, 3))
             n = min(len(pts), P)
             arr[:n] = np.asarray(pts)[:n]
-            mask = np.arange(P) < n
-            L, eps, ok = tri.fit_line3d_to_points(
-                jnp.asarray(arr), jnp.asarray(mask)
-            )
-            if bool(ok):
-                self.map.ln_plucker[ln] = np.asarray(L)
-                self.map.ln_endpoints[ln] = np.asarray(eps)
+            lns.append(int(ln))
+            arrs.append(arr)
+            masks.append(np.arange(P) < n)
+        if not lns:
+            return
+        arr_b, mask_b = _pad_pow2_batch(arrs, masks, P)
+        L, eps, ok = jax.vmap(tri.fit_line3d_to_points)(
+            jnp.asarray(arr_b), jnp.asarray(mask_b)
+        )
+        L, eps, ok = np.asarray(L), np.asarray(eps), np.asarray(ok)
+        for i, ln in enumerate(lns):
+            if ok[i]:
+                self.map.ln_plucker[ln] = L[i]
+                self.map.ln_endpoints[ln] = eps[i]
                 self.map.ln_has_endpoints[ln] = True
 
     def _triangulate_pending_points(self, kf: int):
@@ -713,25 +781,40 @@ class SLAMSystem:
 
     def _refresh_line_endpoints(self, lns: np.ndarray):
         """After BA, refresh cartesian endpoints of optimized maplines from
-        their supporting mappoints (UpdateMaplineEndpoints, map.cc:121-269)."""
-        from rspl_slam_tpu.geometry import triangulation as tri
+        their supporting mappoints (UpdateMaplineEndpoints, map.cc:121-269)
+        — one vmapped device call over the window's lines instead of a
+        per-line dispatch loop."""
+        import jax
         import jax.numpy as jnp
 
+        from rspl_slam_tpu.geometry import triangulation as tri
+
+        P = 32
+        keep, arrs, masks = [], [], []
         for ln in lns:
             uniq, _ = self._mapline_support(ln)
             pts = self.map.pt_pos[uniq]
             if len(pts) < 2:
                 continue
-            P = 32
             arr = np.zeros((P, 3))
             n = min(len(pts), P)
             arr[:n] = np.asarray(pts)[:n]
-            eps, ok = tri.triangulate_line_endpoints(
-                jnp.asarray(self.map.ln_plucker[ln]), jnp.asarray(arr),
-                jnp.asarray(np.arange(P) < n),
-            )
-            if bool(ok):
-                self.map.ln_endpoints[ln] = np.asarray(eps)
+            keep.append(int(ln))
+            arrs.append(arr)
+            masks.append(np.arange(P) < n)
+        if not keep:
+            return
+        arr_b, mask_b = _pad_pow2_batch(arrs, masks, P)
+        plk = np.zeros((len(mask_b), 6))
+        plk[: len(keep)] = self.map.ln_plucker[np.asarray(keep)]
+        plk[len(keep):, 3] = 1.0  # unit direction keeps padded rows finite
+        eps, ok = jax.vmap(tri.triangulate_line_endpoints)(
+            jnp.asarray(plk), jnp.asarray(arr_b), jnp.asarray(mask_b),
+        )
+        eps, ok = np.asarray(eps), np.asarray(ok)
+        for i, ln in enumerate(keep):
+            if ok[i]:
+                self.map.ln_endpoints[ln] = eps[i]
 
     # -------------------------------------------------------------- culling
     def cull_redundant_keyframes(self, min_other_obs: int = 3,

@@ -1,0 +1,75 @@
+"""Fused one-dispatch tracking (fused_track.py) vs the three-dispatch slow
+path: same trajectory (up to PnP RANSAC key draws), and the timing report
+shows ONE device span per tracked frame."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from rspl_slam_tpu.config import CameraConfig, SuperPointConfig, SystemConfig
+from rspl_slam_tpu.evaluation import absolute_trajectory_error, synthetic
+from rspl_slam_tpu.frontend.frontends import NeuralFrontend
+from rspl_slam_tpu.slam import INIT_POSE, SLAMSystem
+
+
+def small_cfg():
+    cam = CameraConfig(image_width=320, image_height=240, fx=240.0,
+                       fy=240.0, cx=160.0, cy=120.0, bf=24.0,
+                       depth_upper_thr=20.0)
+    cfg = SystemConfig(
+        superpoint=SuperPointConfig(max_keypoints=400,
+                                    keypoint_threshold=1e-4),
+        camera=cam, use_lines=False,
+    )
+    return dataclasses.replace(
+        cfg, superglue=dataclasses.replace(cfg.superglue, image_width=320,
+                                           image_height=240))
+
+
+def run(fused: bool, n: int = 8):
+    cfg = small_cfg()
+    scene = synthetic.make_scene(num_points=500, num_lines=6, seed=1,
+                                 extent=(6.0, 4.0, 6.0), on_line_frac=0.0)
+    traj = synthetic.make_trajectory(n, step=0.06)
+    fe = NeuralFrontend(cfg, matcher="cosine")
+    slam = SLAMSystem(cfg, fe, fused_tracking=fused)
+    recs = []
+    for i in range(n):
+        il, ir = synthetic.render_images(scene, cfg.camera, traj[i], seed=i)
+        recs.append(slam.add_frame(i, i * 0.05, il, ir))
+    return slam, recs, traj
+
+
+class TestFusedTracking:
+    def test_matches_slow_path_trajectory(self):
+        slam_f, recs_f, traj = run(True)
+        slam_s, recs_s, _ = run(False)
+        assert slam_f.initialized and slam_s.initialized
+        est_f = np.stack([r.Twc for r in recs_f])
+        est_s = np.stack([r.Twc for r in recs_s])
+        # identical matching; only the PnP key stream differs → the two
+        # paths land on the same chi2-gated LM optimum
+        d = np.linalg.norm(est_f[:, :3, 3] - est_s[:, :3, 3], axis=1)
+        assert d.max() < 0.02, d
+        inl_f = np.asarray([r.num_inliers for r in recs_f[1:]])
+        inl_s = np.asarray([r.num_inliers for r in recs_s[1:]])
+        assert (np.abs(inl_f - inl_s) <= np.maximum(5, 0.2 * inl_s)).all(), (
+            inl_f, inl_s)
+
+    def test_single_dispatch_per_frame(self):
+        slam_f, recs_f, _ = run(True, n=6)
+        t = slam_f.timings
+        # every tracked frame went through the fused step; the slow-path
+        # spans (separate match + pose_opt) never fired
+        assert len(t.get("track_fused", [])) == len(recs_f) - 1
+        assert "match" not in t
+        assert "pose_opt" not in t
+
+    def test_tracks_accurately(self):
+        slam_f, recs_f, traj = run(True)
+        est = np.stack([r.Twc for r in recs_f])
+        ts = np.asarray([r.time for r in recs_f])
+        gt = np.einsum("ij,njk->nik", INIT_POSE, traj)
+        res = absolute_trajectory_error(ts, est[:, :3, 3], ts, gt[:, :3, 3])
+        assert res["rmse"] < 0.3, res
