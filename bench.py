@@ -41,6 +41,111 @@ def _timed(fn):
     return time.perf_counter() - t0
 
 
+# nominal dense peak FLOP/s by TPU generation (bf16 MXU), for the MFU
+# accounting — values from public TPU specs; unknown kinds report no MFU
+_PEAK_BF16 = {
+    "v6": 918e12, "trillium": 918e12,
+    "v5p": 459e12, "v5": 197e12, "v5 lite": 197e12, "v5e": 197e12,
+    "v4": 275e12, "v3": 123e12, "v2": 46e12,
+}
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for key in sorted(_PEAK_BF16, key=len, reverse=True):
+        if key in kind:
+            return _PEAK_BF16[key]
+    return None
+
+
+def _graph_flops(jitted, *args) -> float | None:
+    """XLA cost-analysis FLOPs of a compiled graph (per invocation)."""
+    try:
+        c = jitted.lower(*args).compile()
+        ca = c.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def measured_pipeline(n_frames: int = 36):
+    """Drive the ACTUAL production loop — PipelinedRunner + NeuralFrontend
+    (lazy-right, lines on) + SLAMSystem — over rendered frames and measure
+    wall-clock fps (VERDICT r03 item 2: the stage model below is validated
+    against, not substituted for, the real loop). Returns a dict of
+    measured keys.
+
+    The measured number INCLUDES the per-dispatch host↔device RTT of this
+    environment's tunneled device (~tens of ms per call); the fused
+    extraction + fused tracking steps bound the steady state to two
+    dispatches per tracked frame, so the reconciliation against the
+    RTT-free stage model is `measured ≈ modeled + 2·rtt` per frame."""
+    import dataclasses
+
+    import jax
+
+    from rspl_slam_tpu.config import (LineDetectorConfig, PipelineConfig,
+                                      SuperPointConfig, SystemConfig)
+    from rspl_slam_tpu.evaluation import synthetic
+    from rspl_slam_tpu.frontend.frontends import NeuralFrontend
+    from rspl_slam_tpu.pipeline import PipelinedRunner
+    from rspl_slam_tpu.slam import SLAMSystem
+
+    cfg = SystemConfig(
+        superpoint=SuperPointConfig(max_keypoints=400,
+                                    keypoint_threshold=1e-4),
+        line_detector=LineDetectorConfig(max_lines=64),
+        pipeline=PipelineConfig(lazy_right_extraction=True),
+        use_lines=True,
+    )
+    scene = synthetic.make_scene(num_points=900, num_lines=12, seed=3,
+                                 extent=(10.0, 6.0, 16.0))
+    traj = synthetic.make_trajectory(n_frames, step=0.05, yaw_rate=0.003)
+    # quantize renders to 8-bit — what a real camera (and the reference's
+    # PNG datasets) deliver; activates the frontend's lossless uint8 upload
+    frames = [
+        tuple((np.clip(im, 0, 1) * 255).astype(np.uint8)
+              for im in synthetic.render_images(scene, cfg.camera, traj[i],
+                                                seed=i))
+        for i in range(n_frames)
+    ]
+
+    class _DS:
+        def __len__(self):
+            return n_frames
+
+        def __getitem__(self, i):
+            from rspl_slam_tpu.datasets import StereoFrame
+
+            il, ir = frames[i]
+            return StereoFrame(index=i, time=i * 0.05, image_left=il,
+                               image_right=ir)
+
+    def one_pass():
+        fe = NeuralFrontend(cfg, matcher="cosine")
+        slam = SLAMSystem(cfg, fe)
+        runner = PipelinedRunner(slam, dataset=_DS())
+        t0 = time.perf_counter()
+        recs = runner.run()
+        wall = time.perf_counter() - t0
+        return slam, recs, wall
+
+    one_pass()  # warm pass: compiles every graph in the loop
+    slam, recs, wall = one_pass()
+    n_kf = slam.map.n_kf
+    med = {k: float(np.median(v) * 1e3)
+           for k, v in slam.timings.items() if v}
+    return {
+        "measured_pipeline_fps": round(n_frames / wall, 2),
+        "measured_pipeline_ms_per_frame": round(wall / n_frames * 1e3, 3),
+        "measured_frames": n_frames,
+        "measured_keyframes": int(n_kf),
+        "measured_span_medians_ms": {k: round(v, 2) for k, v in med.items()},
+    }
+
+
 def main():
     import jax
 
@@ -321,6 +426,101 @@ def main():
     wall_ba = min(_timed(lambda: float(chained_ba(prob))) for _ in range(3))
     dt_ba = max(wall_ba - rtt, 0.0) / BA_REPS / 10.0
 
+    # ---- MFU / speed-of-light accounting (VERDICT r03 item 5) ----------
+    # Per-stage XLA cost-analysis FLOPs over measured per-call time against
+    # the chip's nominal bf16 peak. Chained scans isolate each stage.
+    def chain_live(step_live, iters):
+        @jax.jit
+        def run(c):
+            def body(carry, _):
+                live = step_live(carry)
+                return carry + live, live
+
+            _, ts = jax.lax.scan(body, c, None, length=iters)
+            return ts.sum()
+
+        return run
+
+    def sp_live(c):
+        f = superpoint.extract(sp_params, images[:1] + c * 1e-20, sp_cfg)
+        return jnp.sum(f.xy) * 1e-12
+
+    def sg_live(c):
+        r = superglue.match_pair(
+            sg_params, ref_xy[None], ref_score[None],
+            ref_desc[None] + c * 1e-20, ref_valid[None], ref_xy[None],
+            ref_score[None], ref_desc[None], ref_valid[None], sg_cfg)
+        return jnp.sum(r.mscores0) * 1e-12
+
+    from rspl_slam_tpu.ops.sinkhorn import log_optimal_transport_masked
+
+    sink_scores = jnp.asarray(
+        rng.standard_normal((1, K, K)).astype(np.float32))
+
+    def sink_live(c):
+        Z = log_optimal_transport_masked(
+            sink_scores + c * 1e-20, ref_valid[None], ref_valid[None],
+            jnp.asarray(1.0), iters=100)
+        return jnp.sum(Z) * 1e-15
+
+    def stage_dt(live_fn, iters=20):
+        run = chain_live(live_fn, iters)
+        float(run(jnp.zeros(())))
+        w = min(_timed(lambda: float(run(jnp.zeros(())))) for _ in range(3))
+        return max(w - rtt, 0.0) / iters
+
+    dt_sp = stage_dt(sp_live)
+    dt_sg = stage_dt(sg_live)
+    dt_sink = stage_dt(sink_live)
+    dt_ba_call = dt_ba * 10.0  # one optimize_local_map invocation
+
+    dev = jax.devices()[0]
+    peak = _peak_flops(dev)
+    fl_sp = _graph_flops(jax.jit(
+        lambda im: superpoint.extract(sp_params, im, sp_cfg)), images[:1])
+    fl_sg = _graph_flops(jax.jit(lambda d: superglue.match_pair(
+        sg_params, ref_xy[None], ref_score[None], d[None], ref_valid[None],
+        ref_xy[None], ref_score[None], ref_desc[None], ref_valid[None],
+        sg_cfg)), ref_desc)
+    fl_sink = _graph_flops(jax.jit(lambda s: log_optimal_transport_masked(
+        s, ref_valid[None], ref_valid[None], jnp.asarray(1.0), iters=100)),
+        sink_scores)
+    fl_ba = _graph_flops(jax.jit(
+        lambda p: local_ba.optimize_local_map(Ki, p)), prob)
+
+    def mfu(fl, dt):
+        if fl is None or peak is None or dt <= 0:
+            return None
+        return round(fl / dt / peak * 100.0, 2)
+
+    mfu_detail = {
+        "device_kind": getattr(dev, "device_kind", str(dev)),
+        "peak_bf16_tflops": None if peak is None else peak / 1e12,
+        "superpoint": {"gflops": fl_sp and round(fl_sp / 1e9, 2),
+                       "ms": round(dt_sp * 1e3, 3),
+                       "mfu_pct": mfu(fl_sp, dt_sp)},
+        "superglue": {"gflops": fl_sg and round(fl_sg / 1e9, 2),
+                      "ms": round(dt_sg * 1e3, 3),
+                      "mfu_pct": mfu(fl_sg, dt_sg)},
+        "sinkhorn": {"gflops": fl_sink and round(fl_sink / 1e9, 2),
+                     "ms": round(dt_sink * 1e3, 3),
+                     "mfu_pct": mfu(fl_sink, dt_sink)},
+        "local_ba": {"gflops": fl_ba and round(fl_ba / 1e9, 2),
+                     "ms": round(dt_ba_call * 1e3, 3),
+                     "mfu_pct": mfu(fl_ba, dt_ba_call)},
+        "notes": {
+            # one-line explanations for stages structurally below peak
+            "sinkhorn": "bandwidth-bound row/col logsumexp chain (no "
+                        "matmuls): MXU peak is not the roofline here",
+            "local_ba": "small-matrix assembly/solve (6x6, 3x3 blocks) is "
+                        "VPU+gather bound; flops are a tiny fraction of "
+                        "the graph's work by design (closed-form linalg)",
+            "superpoint": "conv stem at batch 1 on a 752x480 frame; "
+                          "MXU utilization rises with stereo batching "
+                          "(eager mode runs B=2)",
+        },
+    }
+
     # ---- host-side line bookkeeping per frame (numpy: merge/filter,
     # point assignment, stereo vote matching — line_processor.cc:492-665) --
     rngh = np.random.default_rng(3)
@@ -432,14 +632,36 @@ def main():
     fps_lazy = 1.0 / dt_frame_lazy
     fps_points = 1.0 / dt_frame_points
 
+    # ---- measured real loop (PipelinedRunner + NeuralFrontend + SLAM) ---
+    measured = measured_pipeline()
+    modeled_ms = dt_frame_lazy_pipe * 1e3
+    measured_ms = measured["measured_pipeline_ms_per_frame"]
+    # steady state = 2 dispatches per tracked frame (fused extract + fused
+    # track), each paying the tunnel RTT the stage model subtracts
+    rtt_accounted_ms = modeled_ms + 2.0 * rtt * 1e3
+    measured["reconciliation"] = {
+        "modeled_rtt_free_ms": round(modeled_ms, 2),
+        "rtt_ms_per_dispatch": round(rtt * 1e3, 2),
+        "modeled_plus_2rtt_ms": round(rtt_accounted_ms, 2),
+        "measured_ms": measured_ms,
+        "measured_over_modeled_plus_2rtt": round(
+            measured_ms / rtt_accounted_ms, 2),
+        "note": "the measured loop includes per-dispatch host<->device RTT "
+                "of this environment's tunneled single chip; the stage "
+                "model is the RTT-free per-chip number",
+    }
+
     print(json.dumps({
         "metric": "full_stack_fps_per_chip",
         "value": round(fps_lazy_pipe, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps_lazy_pipe / 30.0, 3),
+        "measured_pipeline_fps": measured["measured_pipeline_fps"],
         "serial_fps": round(fps_lazy, 2),
         "eager_stereo_fps": round(fps_pipe, 2),
         "points_only_fps": round(fps_points, 2),
+        "measured": measured,
+        "mfu": mfu_detail,
         "detail_ms": {
             "device_lazy_per_frame": round(dt_lazy * 1e3, 3),
             "device_full_per_frame": round(dt_full * 1e3, 3),

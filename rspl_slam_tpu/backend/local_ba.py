@@ -402,3 +402,49 @@ def optimize_local_map(
         Tcw=Tcw, points=points, lines=lines,
         p_inlier=p_inlier, l_inlier=l_inlier, cost=cost,
     )
+
+
+@jax.jit
+def _pack_result(res: BAResult) -> jnp.ndarray:
+    """Flatten a BAResult into one f32 vector — fetching each field
+    separately is a blocking host↔device round trip apiece on a tunneled
+    device; this makes the whole result ONE download."""
+    f32 = jnp.float32
+    return jnp.concatenate([
+        res.Tcw.reshape(-1).astype(f32),
+        res.points.reshape(-1).astype(f32),
+        res.lines.reshape(-1).astype(f32),
+        res.p_inlier.astype(f32),
+        res.l_inlier.astype(f32),
+        res.cost.reshape(1).astype(f32),
+    ])
+
+
+def fetch_result(res: BAResult) -> BAResult:
+    """Materialize a device BAResult as numpy with a single round trip."""
+    import numpy as np
+
+    if isinstance(res.Tcw, np.ndarray):
+        return res  # already host-side
+    F = res.Tcw.shape[0]
+    P = res.points.shape[0]
+    L = res.lines.shape[0]
+    Cp = res.p_inlier.shape[0]
+    Cl = res.l_inlier.shape[0]
+    buf = np.asarray(_pack_result(res))
+    o = 0
+
+    def take(n, shape):
+        nonlocal o
+        out = buf[o: o + n].reshape(shape)
+        o += n
+        return out
+
+    return BAResult(
+        Tcw=take(16 * F, (F, 4, 4)),
+        points=take(3 * P, (P, 3)),
+        lines=take(6 * L, (L, 6)),
+        p_inlier=take(Cp, (Cp,)) > 0.5,
+        l_inlier=take(Cl, (Cl,)) > 0.5,
+        cost=buf[o],
+    )

@@ -1,21 +1,28 @@
 """Fused per-frame tracking step: temporal matching + map association +
-PnP-RANSAC + pose-only LM in ONE device dispatch.
+PnP-RANSAC + pose-only LM in ONE device dispatch, ONE packed host→device
+upload, and ONE packed device→host download.
 
 The serial host loop this replaces (slam.py r03) issued three dispatches
 per tracked frame with host synchronization between them —
 ``frontend.match`` → host gather of matched mappoints → ``pnp_ransac`` →
-``optimize_pose`` — which on a tunneled device costs ~ms of RTT each
-(VERDICT r03 weak #3). The reference has the same structure serially on
-CPU/GPU (TrackFrame: MatchingPoints → SolvePnPWithCV → FrameOptimization,
-map_builder.cc:448-611); here the association gather moves INTO the jitted
-graph: the reference keyframe's per-keypoint landmark table (positions +
-GOOD flags, (K,)-shaped) is uploaded with the query features and indexed
-on device by the match result.
+``optimize_pose``. On a tunneled device every dispatch AND every
+materialized output array is a blocking round trip (~25 ms RTT measured),
+so the transfer schedule is as load-bearing as the compute schedule:
 
-The PnP sanity jump check (map_builder.cc:517-521) runs in-graph as a
-``where`` on the translation delta; the post-LM jump check stays on the
-host (slam.py) because the fallback decision feeds host-side keyframe
-policy anyway.
+- query features stay DEVICE-RESIDENT from extraction (FrameFeatures.dev)
+  — the descriptor block is never re-uploaded;
+- the per-frame host state (stereo uR column, the reference keyframe's
+  landmark table, the prior pose, the RANSAC seed) is packed into one
+  f32 buffer;
+- every host-bound result (match indices, inlier mask, optimized pose,
+  inlier count) comes back in one f32 vector.
+
+The reference has the same logical structure serially on CPU/GPU
+(TrackFrame: MatchingPoints → SolvePnPWithCV → FrameOptimization,
+map_builder.cc:448-611). The PnP sanity jump check (map_builder.cc:
+517-521) runs in-graph as a ``where`` on the translation delta; the
+post-LM jump check stays on the host (slam.py) because the fallback
+decision feeds host-side keyframe policy anyway.
 """
 
 from __future__ import annotations
@@ -38,16 +45,21 @@ def _fused_step(
     match_fn,
     sg_params,
     K: CameraIntrinsics,
-    q_xy, q_score, q_desc, q_valid,  # (K,...) query frame features
-    q_ur,  # (K,) right-image u (−1 = mono)
-    r_xy, r_score, r_desc, r_valid,  # reference keyframe features
-    ref_pos,  # (K, 3) landmark position per ref keypoint slot
-    ref_good,  # (K,) bool — slot has a GOOD landmark
-    Twc_last,  # (4, 4) last frame world pose (prior + jump anchor)
-    key,
+    q_xy, q_score, q_desc, q_valid,  # (Kp,...) query features (device)
+    r_xy, r_score, r_desc, r_valid,  # reference keyframe features (device)
+    host,  # (Kp*5 + 17,) packed host state: [uR; ref_pos; ref_good;
+    #        Twc_last(16); seed]
     chi2_mono: float,
     chi2_stereo: float,
 ):
+    Kp = q_xy.shape[0]
+    q_ur = host[:Kp]
+    ref_pos = host[Kp: 4 * Kp].reshape(Kp, 3)
+    ref_good = host[4 * Kp: 5 * Kp] > 0.5
+    Twc_last = host[5 * Kp: 5 * Kp + 16].reshape(4, 4)
+    seed = host[5 * Kp + 16].astype(jnp.int32)
+    key = jax.random.PRNGKey(seed)
+
     i0 = match_fn(
         sg_params,
         q_xy[None], q_score[None], q_desc[None], q_valid[None],
@@ -79,7 +91,11 @@ def _fused_step(
     Twc_opt = jnp.where(enough, se3.inverse(out.Tcw), Twc_last)
     n_inl = jnp.where(enough, out.num_inliers, 0)
     inlier = out.inlier & enough
-    return i0, Twc_opt, n_inl, inlier
+    f32 = jnp.float32
+    return jnp.concatenate([
+        i0.astype(f32), inlier.astype(f32), Twc_opt.reshape(16).astype(f32),
+        n_inl[None].astype(f32),
+    ])
 
 
 def _superglue_match(cfg, compute_dtype):
@@ -120,32 +136,56 @@ class FusedTracker:
             self._params = ()  # unused by cosine matching
         self._ref_token = None
         self._ref_dev = None
+        self._seed = 0
 
     def _ref_arrays(self, ref_feats):
         """Device copies of the reference keyframe features, cached by
         object identity (one upload per keyframe change)."""
         token = id(ref_feats)
         if self._ref_token != token:
-            self._ref_dev = tuple(jnp.asarray(np.asarray(a)) for a in (
-                ref_feats.xy, ref_feats.score, ref_feats.desc,
-                ref_feats.valid,
-            ))
+            if getattr(ref_feats, "dev", None) is not None:
+                self._ref_dev = ref_feats.dev  # already device-resident
+            else:
+                self._ref_dev = tuple(jnp.asarray(np.asarray(a)) for a in (
+                    ref_feats.xy, ref_feats.score, ref_feats.desc,
+                    ref_feats.valid,
+                ))
             self._ref_token = token
         return self._ref_dev
 
     def track(self, feats, ref_feats, ref_pos: np.ndarray,
-              ref_good: np.ndarray, Twc_last: np.ndarray, key):
-        """One fused dispatch. Returns host (i0, Twc, n_inliers, inlier)."""
+              ref_good: np.ndarray, Twc_last: np.ndarray):
+        """One fused dispatch: one packed upload, one packed download.
+        Returns host (i0, Twc, n_inliers, inlier)."""
         r_xy, r_score, r_desc, r_valid = self._ref_arrays(ref_feats)
-        i0, Twc, n_inl, inlier = _fused_step(
+        if feats.dev is not None:
+            # device-resident features from extraction: no re-upload
+            q_xy, q_score, q_desc, q_valid = feats.dev
+        else:
+            q_xy, q_score, q_desc, q_valid = (
+                jnp.asarray(feats.xy), jnp.asarray(feats.score),
+                jnp.asarray(feats.desc), jnp.asarray(feats.valid))
+        self._seed = (self._seed + 1) % (1 << 22)
+        Kp = int(q_xy.shape[0])
+        host = np.empty(5 * Kp + 17, np.float32)
+        ur = feats.stereo_ur() if hasattr(feats, "stereo_ur") else \
+            feats.meas[:, 2]
+        host[:Kp] = -1.0 if ur is None else ur
+        host[Kp: 4 * Kp] = np.asarray(ref_pos, np.float32).reshape(-1)
+        host[4 * Kp: 5 * Kp] = ref_good
+        host[5 * Kp: 5 * Kp + 16] = np.asarray(
+            Twc_last, np.float32).reshape(-1)
+        host[5 * Kp + 16] = self._seed
+        packed = _fused_step(
             self._match_fn, self._params, self.K,
-            jnp.asarray(feats.xy), jnp.asarray(feats.score),
-            jnp.asarray(feats.desc), jnp.asarray(feats.valid),
-            jnp.asarray(feats.meas[:, 2]),
+            q_xy, q_score, q_desc, q_valid,
             r_xy, r_score, r_desc, r_valid,
-            jnp.asarray(ref_pos), jnp.asarray(ref_good),
-            jnp.asarray(Twc_last), key,
+            host,  # np: uploads as part of the dispatch, no separate RPC
             chi2_mono=self.chi2[0], chi2_stereo=self.chi2[1],
         )
-        return (np.asarray(i0), np.asarray(Twc), int(n_inl),
-                np.asarray(inlier))
+        buf = np.asarray(packed)  # the single blocking round trip
+        i0 = buf[:Kp].astype(np.int64)
+        inlier = buf[Kp: 2 * Kp] > 0.5
+        Twc = buf[2 * Kp: 2 * Kp + 16].reshape(4, 4).astype(np.float64)
+        n_inl = int(buf[2 * Kp + 16])
+        return i0, Twc, n_inl, inlier

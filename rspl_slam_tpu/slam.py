@@ -270,14 +270,13 @@ class SLAMSystem:
             tcfg = self.cfg.optimization.tracking
             self._fused = FusedTracker(self.frontend, self.K,
                                        tcfg.mono_point, tcfg.stereo_point)
-        self.key, k = jax.random.split(self.key)
         ref_pt = self.map.kf_track[self._ref_kf]
         safe = np.maximum(ref_pt, 0)
         ref_good = (ref_pt >= 0) & (
             self.map.pt_status[safe] == map_store.PT_GOOD)
         ref_pos = self.map.pt_pos[safe]
         i0, Twc, n_inl, inlier = self._fused.track(
-            feats, self._ref_feats, ref_pos, ref_good, self._last_Twc, k)
+            feats, self._ref_feats, ref_pos, ref_good, self._last_Twc)
         # post-LM sanity jump check, same as the slow path
         if np.linalg.norm(Twc[:3, 3] - self._last_Twc[:3, 3]) > 0.5:
             Twc = self._last_Twc.copy()
@@ -754,12 +753,14 @@ class SLAMSystem:
         )
         if mapping["ncp"] < 30:
             return None, None
-        prob = local_ba.BAProblem(**{
-            k: jnp.asarray(v) for k, v in problem_np.items()
-        })
+        # keep the problem as HOST numpy: the jitted solver transfers the
+        # arguments as part of its dispatch, where per-field jnp.asarray
+        # uploads would each pay a round trip on a tunneled device
+        prob = local_ba.BAProblem(**problem_np)
         return prob, mapping
 
     def apply_ba_result(self, result, mapping, center_kf: int):
+        result = local_ba.fetch_result(result)  # ONE packed download
         self.map.scatter_ba_result(result, mapping)
         self._refresh_line_endpoints(mapping["lns"])
         # keep the tracking anchor pose in sync with the optimized map
@@ -854,7 +855,13 @@ class SLAMSystem:
         normal-equation assembly is psum-reduced across them
         (parallel/dist_ba.sharded_constraints_ba) — this is the path that
         scales full-map refinement beyond one chip. Returns the final cost,
-        or None when the map is too small."""
+        or None when the map is too small.
+
+        Fidelity bound: each landmark contributes at most
+        ``map_store.MAX_OBS`` (16) observations — its newest, by ring
+        replacement — so on loops longer than 16 keyframes the joint
+        refinement optimizes against a truncated observation set (see
+        PARITY.md "Known gaps")."""
         m = self.map
         if m.n_kf < min_keyframes:
             return None

@@ -1,5 +1,7 @@
 """Golden-value tests for SE3/Plücker/camera math vs small numpy references."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -263,3 +265,71 @@ class TestConfig:
         assert abs(c.camera.fx - 435.2046959714599) < 1e-9
         assert abs(c.camera.bf - 47.90639384423901) < 1e-9
         assert c.optimization.tracking.stereo_point == 75
+
+
+class TestAllReferenceConfigs:
+    """All five reference algo YAMLs + their four camera calibration files
+    parse through config.py with correct values (VERDICT r03 item 7), and
+    the repo's own five combined configs mirror them."""
+
+    REF = "/root/reference/configs"
+    PAIRS = {
+        # algo file → (camera file, kpts, W, H, fx, bf, chi2_stereo,
+        #              distortion_type, depth_upper)
+        "configs_euroc.yaml": ("euroc.yaml", 400, 752, 480,
+                               435.2046959714599, 47.90639384423901, 75,
+                               0, 10.0),
+        "configs_oivio.yaml": ("oivio.yaml", 600, 1280, 720,
+                               None, 32.3252131124, 75, 0, None),
+        "configs_uma_bumblebee_indoor.yaml": (
+            "uma_bumblebee.yaml", 500, 1024, 768, 437.0655449072,
+            52.1485318013, 37, 1, 10.0),
+        "configs_realsense.yaml": ("realsense_848_480.yaml", 500, 848, 480,
+                                   420.1159362792969, 21.005796813964846,
+                                   75, 0, 10.0),
+        "configs_zed2i.yaml": ("zed2i.yaml", 300, 960, 540, 534.59, 25.2,
+                               75, 0, 20.0),
+    }
+
+    @pytest.mark.skipif(not os.path.isdir("/root/reference/configs"),
+                        reason="reference configs not mounted")
+    def test_five_reference_algo_configs_parse(self):
+        from rspl_slam_tpu.config import load_system_config
+
+        for algo, (camf, kpts, W, H, fx, bf, chi2s, dist, dup) in \
+                self.PAIRS.items():
+            c = load_system_config(os.path.join(self.REF, algo),
+                                   os.path.join(self.REF, camf))
+            assert c.superpoint.max_keypoints == kpts, algo
+            assert c.superglue.image_width == W, algo
+            assert c.superglue.image_height == H, algo
+            assert c.camera.image_width == W, algo
+            assert c.camera.image_height == H, algo
+            if fx is not None:
+                assert abs(c.camera.fx - fx) < 1e-6, algo
+            assert abs(c.camera.bf - bf) < 1e-6, algo
+            assert c.optimization.tracking.stereo_point == chi2s, algo
+            assert c.optimization.backend.stereo_point == chi2s, algo
+            assert c.camera.distortion_type == dist, algo
+            if dup is not None:
+                assert abs(c.camera.depth_upper_thr - dup) < 1e-9, algo
+
+    def test_repo_combined_configs(self):
+        from rspl_slam_tpu.config import load_system_config
+
+        root = os.path.join(os.path.dirname(__file__), "..", "configs")
+        expect = {
+            "euroc.yaml": (400, 752, 480, 47.90639384423901),
+            "oivio.yaml": (600, 1280, 720, 32.3252131124),
+            "uma_bumblebee_indoor.yaml": (500, 1024, 768, 52.1485318013),
+            "realsense.yaml": (500, 848, 480, 21.005796813964846),
+            "zed2i.yaml": (300, 960, 540, 25.2),
+        }
+        for name, (kpts, W, H, bf) in expect.items():
+            p = os.path.join(root, name)
+            assert os.path.exists(p), name
+            c = load_system_config(p, p)
+            assert c.superpoint.max_keypoints == kpts, name
+            assert c.camera.image_width == W, name
+            assert c.camera.image_height == H, name
+            assert abs(c.camera.bf - bf) < 1e-6, name

@@ -211,3 +211,98 @@ class TestSlamPoseGraphIntegration:
         err_after = np.linalg.norm(
             m.kf_pose[n - 1][:3, 3] - gt_pose[n - 1][:3, 3])
         assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+class TestAdversarialLoopRejection:
+    """Visually similar but geometrically distinct places must NOT close a
+    loop (VERDICT r03 item 9): a false accept fires a map-wide pose-graph
+    correction, so precision is load-bearing. Both attacks below pass the
+    place-recognition similarity gate and the descriptor-matching gate by
+    construction — rejection must come from the 3D-3D RANSAC."""
+
+    def _twin_place_map(self, transform_pts, seed=0):
+        """KF 0 and KF gap+1 see the SAME 200 descriptors (visually
+        identical places) but geometry transformed by ``transform_pts``."""
+        rng = np.random.default_rng(seed)
+        fx = fy = 400.0
+        cx, cy = 320.0, 240.0
+        bf = 40.0
+        K = 256
+        gap = 5
+        m = map_store.MapStore(K, 8, PipelineConfig())
+        m.set_intrinsics(fx, fy, cx, cy)
+        pts = rng.uniform([-3, -2, 3], [3, 2, 9], (200, 3))
+        desc = rng.standard_normal((200, 256)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+
+        def observe(Twc, cloud):
+            Tcw = np.linalg.inv(Twc)
+            Xc = cloud @ Tcw[:3, :3].T + Tcw[:3, 3]
+            u = fx * Xc[:, 0] / Xc[:, 2] + cx
+            v = fy * Xc[:, 1] / Xc[:, 2] + cy
+            ur = u - bf / Xc[:, 2]
+            vis = (Xc[:, 2] > 0.5) & (u > 5) & (u < 635) & (v > 5) & (v < 475)
+            idx = np.nonzero(vis)[0][:K]
+            meas = np.zeros((K, 3), np.float32)
+            dd = np.zeros((K, 256), np.float32)
+            val = np.zeros(K, bool)
+            n = len(idx)
+            meas[:n, 0] = u[idx]
+            meas[:n, 1] = v[idx]
+            meas[:n, 2] = ur[idx]
+            dd[:n] = desc[idx]
+            val[:n] = True
+            return meas, val, dd
+
+        meas, val, dd = observe(np.eye(4), pts)
+        m.add_keyframe(0, 0.0, np.eye(4), meas, val, dd,
+                       np.ones(K, np.float32) * 0.9)
+        for g in range(gap):
+            od = rng.standard_normal((K, 256)).astype(np.float32)
+            od /= np.linalg.norm(od, axis=1, keepdims=True)
+            dm = np.zeros((K, 3), np.float32)
+            dm[:, 0] = rng.uniform(10, 630, K)
+            dm[:, 1] = rng.uniform(10, 470, K)
+            dm[:, 2] = dm[:, 0] - 5.0
+            T = np.eye(4)
+            T[:3, 3] = [10.0 + g, 0, 0]
+            m.add_keyframe(g + 1, float(g + 1), T, dm, np.ones(K, bool), od,
+                           np.ones(K, np.float32) * 0.9)
+        # the geometrically-distinct twin, same descriptors per index
+        meas, val, dd = observe(np.eye(4), transform_pts(pts, rng))
+        m.add_keyframe(gap + 1, float(gap + 1), np.eye(4), meas, val, dd,
+                       np.ones(K, np.float32) * 0.9)
+        det = lc.LoopDetector(bf=bf, min_gap=gap - 1, sim_thr=0.5,
+                              min_inliers=15, inlier_dist=0.1)
+        return m, det, gap + 1
+
+    def _assert_rejected_and_untouched(self, m, det, q):
+        snap_pose = m.kf_pose.copy()
+        snap_meas = m.kf_meas.copy()
+        out = det.detect(m, q)
+        assert out is None
+        np.testing.assert_array_equal(m.kf_pose, snap_pose)
+        np.testing.assert_array_equal(m.kf_meas, snap_meas)
+
+    def test_scrambled_geometry_rejected(self):
+        """Same 'appearance', independently scrambled 3D layout: no rigid
+        transform maps one point set onto the other."""
+        m, det, q = self._twin_place_map(
+            lambda pts, rng: rng.permutation(pts, axis=0))
+        self._assert_rejected_and_untouched(m, det, q)
+
+    def test_scaled_replica_rejected(self):
+        """A 2x-scaled replica of the place (the classic monocular
+        ambiguity): stereo depth makes the scale observable, so the 3D-3D
+        alignment cannot reach the inlier quorum."""
+        m, det, q = self._twin_place_map(
+            lambda pts, rng: pts * 2.0 + np.array([0, 0, 3.0]))
+        self._assert_rejected_and_untouched(m, det, q)
+
+    def test_true_revisit_still_accepted(self):
+        """Control: the identity 'transform' (a genuine revisit) passes the
+        same gates the adversarial twins fail."""
+        m, det, q = self._twin_place_map(lambda pts, rng: pts)
+        out = det.detect(m, q)
+        assert out is not None
+        np.testing.assert_allclose(out.Z, np.eye(4), atol=1e-3)

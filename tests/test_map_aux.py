@@ -206,3 +206,74 @@ class TestSaveMapText:
         assert int(rows[0].split()[0]) == pt  # track id of keypoint 0
         mp = (d / "mappoints.txt").read_text().split()
         assert [float(x) for x in mp[:4]] == [pt, 1.0, 2.0, 3.0]
+
+
+class TestObservationRingBoundary:
+    """MAX_OBS=16 boundary (VERDICT r03 weak #4): a landmark observed by
+    more than MAX_OBS keyframes ring-replaces its OLDEST observation. The
+    evicted keyframe's kf_track back-pointer must be cleared (no stale
+    pointers into the landmark) and the ring must hold exactly the newest
+    MAX_OBS observers in order."""
+
+    def test_ring_replacement_keeps_newest_and_clears_stale(self):
+        from rspl_slam_tpu.backend.map_store import MAX_OBS
+
+        m, cam = small_store()
+        rng = np.random.default_rng(11)
+        desc = rng.standard_normal(32).astype(np.float32)
+        pt = m.new_mappoint(np.array([0.0, 0.0, 5.0]), desc)
+        n_kf = MAX_OBS + 4  # exceed the ring, but stay in kf capacity?
+        # small_store caps at 8 keyframes — rebuild with enough capacity
+        from rspl_slam_tpu.backend import map_store
+        from rspl_slam_tpu.config import PipelineConfig
+
+        cfg = PipelineConfig(max_map_keyframes=MAX_OBS + 8,
+                             max_map_points=64, max_map_lines=8)
+        m = map_store.MapStore(16, 4, cfg, desc_dim=32)
+        m.set_intrinsics(cam.fx, cam.fy, cam.cx, cam.cy)
+        pt = m.new_mappoint(np.array([0.0, 0.0, 5.0]), desc)
+        meas = np.zeros((16, 3))
+        meas[:, :2] = rng.uniform(0, 400, (16, 2))
+        descs = rng.standard_normal((16, 32)).astype(np.float32)
+        for k in range(n_kf):
+            kf = m.add_keyframe(k, k * 0.05, np.eye(4), meas,
+                                np.ones(16, bool), descs,
+                                np.ones(16, np.float32))
+            m.add_point_obs(pt, kf, k % 16)
+        assert m.pt_obs_n[pt] == MAX_OBS
+        # ring holds exactly the newest MAX_OBS keyframes, oldest-first
+        np.testing.assert_array_equal(
+            m.pt_obs_kf[pt], np.arange(n_kf - MAX_OBS, n_kf)
+        )
+        # evicted keyframes carry no stale back-pointer to the landmark
+        for k in range(n_kf - MAX_OBS):
+            assert (m.kf_track[k] != pt).all(), k
+        # surviving observers still point back at the landmark
+        for k in range(n_kf - MAX_OBS, n_kf):
+            assert m.kf_track[k, k % 16] == pt, k
+
+    def test_batch_path_takes_ring_branch_when_full(self):
+        from rspl_slam_tpu.backend import map_store
+        from rspl_slam_tpu.backend.map_store import MAX_OBS
+        from rspl_slam_tpu.config import PipelineConfig
+
+        rng = np.random.default_rng(12)
+        cfg = PipelineConfig(max_map_keyframes=MAX_OBS + 4,
+                             max_map_points=64, max_map_lines=8)
+        m = map_store.MapStore(16, 4, cfg, desc_dim=32)
+        meas = np.zeros((16, 3))
+        meas[:, :2] = rng.uniform(0, 400, (16, 2))
+        descs = rng.standard_normal((16, 32)).astype(np.float32)
+        pts = m.new_mappoints_batch(
+            rng.uniform(-1, 1, (3, 3)) + [0, 0, 5], descs[:3])
+        for k in range(MAX_OBS + 2):
+            kf = m.add_keyframe(k, k * 0.05, np.eye(4), meas,
+                                np.ones(16, bool), descs,
+                                np.ones(16, np.float32))
+            m.add_point_obs_batch(pts, kf, np.arange(3))
+        assert (m.pt_obs_n[pts] == MAX_OBS).all()
+        np.testing.assert_array_equal(
+            m.pt_obs_kf[pts[0]], np.arange(2, MAX_OBS + 2)
+        )
+        assert (m.kf_track[0, :3] == -1).all()
+        assert (m.kf_track[1, :3] == -1).all()
