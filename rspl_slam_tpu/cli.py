@@ -59,6 +59,9 @@ def _build_slam(args, use_lines=None, rectify=True):
     if getattr(args, "rcf_weights", None):
         cfg = dataclasses.replace(cfg, line_detector=dataclasses.replace(
             cfg.line_detector, rcf_weights_path=args.rcf_weights))
+    if getattr(args, "track_local_map", False):
+        cfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, track_local_map=True))
     fe = NeuralFrontend(cfg, matcher=getattr(args, "matcher", "superglue"),
                         rectify=rectify,
                         lazy_right=getattr(args, "lazy_right", None))
@@ -539,6 +542,11 @@ def main(argv=None):
                     help="disable the native C++ prefetcher")
     pr.add_argument("--overlay-stride", dest="overlay_stride", type=int,
                     default=1, help="dump a feature overlay every Nth frame")
+    pr.add_argument("--track-local-map", dest="track_local_map",
+                    action="store_true",
+                    help="recover missed landmark associations by "
+                         "projecting the covisible local map into each new "
+                         "keyframe (search_by_projection)")
     pr.add_argument("--gt", default=None,
                     help="ground truth (TUM file, EuRoC csv, or sequence "
                          "dir) — prints keyframe ATE after the run")

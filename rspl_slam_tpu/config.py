@@ -199,6 +199,14 @@ class PipelineConfig:
     # optimization is mono). False = extract both eyes every frame
     # (richer stereo tracking; one batched dispatch).
     lazy_right_extraction: bool = False
+    # Local-map association at keyframe insertion: project covisible
+    # landmarks the temporal match missed into the new keyframe and
+    # re-associate by descriptor (map_store.search_by_projection ≙ the
+    # reference's defined-but-never-called TrackLocalMap machinery,
+    # map_builder.cc:684-785 / map.cc:952-1005). Extra observations
+    # tighten the BA window — this is a strict superset of the
+    # reference's data association.
+    track_local_map: bool = False
 
 
 @dataclass(frozen=True)

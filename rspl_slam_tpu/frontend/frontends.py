@@ -170,6 +170,68 @@ def _host_to_u8(img: np.ndarray) -> np.ndarray:
     return np.asarray(img, np.float32)
 
 
+def make_superglue_match_fn(cfg, compute_dtype):
+    """In-graph SuperGlue matcher (params, 8 batched feature arrays) →
+    indices0. Shared by the fused tracking step and the fused keyframe
+    completion."""
+    def fn(params, xy0, sc0, d0, v0, xy1, sc1, d1, v1):
+        from rspl_slam_tpu.models import superglue
+
+        return superglue.match_pair(
+            params, xy0, sc0, d0, v0, xy1, sc1, d1, v1, cfg, compute_dtype
+        ).indices0
+
+    return fn
+
+
+def make_cosine_match_fn():
+    def fn(params, xy0, sc0, d0, v0, xy1, sc1, d1, v1):
+        from rspl_slam_tpu.ops.matching import cosine_mutual_match
+
+        return cosine_mutual_match(d0, v0, d1, v1)
+
+    return fn
+
+
+@partial(jax.jit, static_argnames=("match_fn", "sp_cfg", "ds", "min_len",
+                                   "inlier_dist", "max_segs", "use_lines",
+                                   "compute_dtype"))
+def _complete_stereo_fused(match_fn, sg_params, sp_params, rcf_params,
+                           img_r, map_r, q_xy, q_score, q_desc, q_valid,
+                           sp_cfg, ds: int, min_len: float,
+                           inlier_dist: float, max_segs: int,
+                           use_lines: bool, compute_dtype):
+    """Deferred right-image work at keyframe insertion as ONE dispatch:
+    uint8→float + rectify, SuperPoint, left↔right matching, and (lines on)
+    RCF + Hough on the right image — packed into one host-bound buffer
+    [xyR; validR; i0; segsR; seg_valid]. ≙ InsertKeyframe →
+    ExtractFeatureAndMatch (map_builder.cc:639-682), which the r03 code
+    ran as 3-4 separate dispatches with a round trip each."""
+    from rspl_slam_tpu.models import rcf, superpoint
+    from rspl_slam_tpu.ops import lines as lops
+
+    img = _to_unit_float(img_r)
+    if map_r is not None:
+        img = _remap_batch(img, map_r)
+    featsR = superpoint.extract(sp_params, img, sp_cfg, compute_dtype)
+    i0 = match_fn(
+        sg_params, q_xy[None], q_score[None], q_desc[None], q_valid[None],
+        featsR.xy, featsR.score, featsR.desc, featsR.valid,
+    )[0]
+    f32 = jnp.float32
+    parts = [featsR.xy[0].astype(f32).reshape(-1),
+             featsR.valid[0].astype(f32), i0.astype(f32)]
+    if use_lines:
+        edges = rcf.edge_map(rcf_params, _downsample_mean(img, ds),
+                             compute_dtype)
+        segs, sval, _ = lops.detect_line_segments(
+            edges[0], min_length=min_len, inlier_dist=inlier_dist,
+            max_segments=max_segs,
+        )
+        parts += [segs.astype(f32).reshape(-1), sval.astype(f32)]
+    return jnp.concatenate(parts)
+
+
 @jax.jit
 def _prep_image(img: jnp.ndarray, maps) -> jnp.ndarray:
     """(B, H, W) uint8/float → rectified f32 [0,1] (maps None = no-op)."""
@@ -343,6 +405,15 @@ class NeuralFrontend:
                 else:
                     rcf_params = rcf.init_params(jax.random.PRNGKey(seed + 1))
             self.rcf_params = rcf_params
+        # in-graph matcher for the fused keyframe-completion dispatch
+        # (shared machinery with fused_track.FusedTracker)
+        if self.matcher == "superglue":
+            self._graph_match_fn = make_superglue_match_fn(
+                cfg.superglue, self.compute_dtype)
+            self._graph_match_params = self.sg_params
+        else:
+            self._graph_match_fn = make_cosine_match_fn()
+            self._graph_match_params = ()
 
     def _extract_lines(self, imgs):
         """RCF edge maps → Hough segments → merge/filter for each image of
@@ -575,25 +646,64 @@ class NeuralFrontend:
         if ff.pending_right is None:
             return ff
         map_r = None if self._rect_maps is None else self._rect_maps[1:]
-        img_r = _prep_image(np.asarray(ff.pending_right)[None], map_r)
-        featsR = superpoint.extract(
-            self.sp_params, img_r, self.cfg.superpoint, self.compute_dtype
-        )
-        i0 = self._match_indices(
-            jnp.asarray(ff.xy)[None], jnp.asarray(ff.score)[None],
-            jnp.asarray(ff.desc)[None], jnp.asarray(ff.valid)[None],
-            featsR.xy, featsR.score, featsR.desc, featsR.valid,
-        )[0]
-        xyR = np.asarray(featsR.xy[0])
-        validR = np.asarray(featsR.valid[0])
+        ld = self.cfg.line_detector
+        ds = max(1, int(getattr(ld, "downsample", 1)))
+        img_np = np.asarray(ff.pending_right)
+        H, W = img_np.shape
+        lines_fused = (self.use_lines and ds > 1 and ld.rcf_at_detection_scale
+                       and H % (4 * ds) == 0 and W % (4 * ds) == 0)
+        fused_ok = (not self.use_lines) or lines_fused
+        if fused_ok:
+            # one dispatch + one packed download for the whole right side
+            K = self.cfg.superpoint.max_keypoints
+            if ff.dev is not None:
+                q_xy, q_score, q_desc, q_valid = ff.dev
+            else:
+                q_xy, q_score, q_desc, q_valid = (
+                    jnp.asarray(ff.xy), jnp.asarray(ff.score),
+                    jnp.asarray(ff.desc), jnp.asarray(ff.valid))
+            packed = _complete_stereo_fused(
+                self._graph_match_fn, self._graph_match_params,
+                self.sp_params,
+                self.rcf_params if self.use_lines else (),
+                img_np[None], map_r, q_xy, q_score, q_desc, q_valid,
+                self.cfg.superpoint, ds, float(ld.length_threshold),
+                float(ld.distance_threshold), int(ld.max_lines),
+                self.use_lines, self.compute_dtype,
+            )
+            buf = np.asarray(packed)  # the one blocking round trip
+            xyR = np.ascontiguousarray(buf[: 2 * K].reshape(K, 2))
+            validR = buf[2 * K: 3 * K] > 0.5
+            i0 = buf[3 * K: 4 * K].astype(np.int64)
+            segs_r = None
+            if self.use_lines:
+                sv = buf[4 * K:].reshape(-1, 5)
+                segs_r = self._host_merge(
+                    np.ascontiguousarray(sv[sv[:, 4] > 0.5, :4]) * ds
+                )
+        else:
+            img_r = _prep_image(img_np[None], map_r)
+            featsR = superpoint.extract(
+                self.sp_params, img_r, self.cfg.superpoint,
+                self.compute_dtype
+            )
+            i0 = self._match_indices(
+                jnp.asarray(ff.xy)[None], jnp.asarray(ff.score)[None],
+                jnp.asarray(ff.desc)[None], jnp.asarray(ff.valid)[None],
+                featsR.xy, featsR.score, featsR.desc, featsR.valid,
+            )[0]
+            xyR = np.asarray(featsR.xy[0])
+            validR = np.asarray(featsR.valid[0])
+            segs_r = None
+            if self.use_lines and ff.lines is not None:
+                (segs_r,) = self._extract_lines(img_r)
         uR, depth = _stereo_associate(self.cfg, ff.xy, xyR, ff.valid,
                                       validR, i0)
         ff.meas[:, 2] = uR
         ff.depth = depth
-        if self.use_lines and ff.lines is not None:
+        if self.use_lines and ff.lines is not None and segs_r is not None:
             from rspl_slam_tpu.ops import lines as lops
 
-            (segs_r,) = self._extract_lines(img_r)
             nl = int(ff.line_valid.sum())
             if nl and len(segs_r):
                 members_r = lops.assign_points_to_lines(segs_r, xyR, validR)

@@ -98,26 +98,6 @@ def _fused_step(
     ])
 
 
-def _superglue_match(cfg, compute_dtype):
-    from rspl_slam_tpu.models import superglue
-
-    def fn(params, xy0, sc0, d0, v0, xy1, sc1, d1, v1):
-        return superglue.match_pair(
-            params, xy0, sc0, d0, v0, xy1, sc1, d1, v1, cfg, compute_dtype
-        ).indices0
-
-    return fn
-
-
-def _cosine_match():
-    from rspl_slam_tpu.ops.matching import cosine_mutual_match
-
-    def fn(params, xy0, sc0, d0, v0, xy1, sc1, d1, v1):
-        return cosine_mutual_match(d0, v0, d1, v1)
-
-    return fn
-
-
 class FusedTracker:
     """Binds a NeuralFrontend's matcher + the camera/opt config into the
     one-dispatch tracking step, and caches the reference keyframe's
@@ -127,13 +107,10 @@ class FusedTracker:
                  chi2_stereo: float):
         self.K = K
         self.chi2 = (float(chi2_mono), float(chi2_stereo))
-        if frontend.matcher == "superglue":
-            self._match_fn = _superglue_match(frontend.cfg.superglue,
-                                              frontend.compute_dtype)
-            self._params = frontend.sg_params
-        else:
-            self._match_fn = _cosine_match()
-            self._params = ()  # unused by cosine matching
+        # reuse the frontend's in-graph matcher closure so this step and
+        # the fused keyframe completion share one compiled matcher family
+        self._match_fn = frontend._graph_match_fn
+        self._params = frontend._graph_match_params
         self._ref_token = None
         self._ref_dev = None
         self._seed = 0

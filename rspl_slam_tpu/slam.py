@@ -61,6 +61,35 @@ def _members_to_lists(members: np.ndarray | None, width: int = 32) -> np.ndarray
     return out
 
 
+@jax.jit
+def _tri_points_packed(Twc, uvn, mask):
+    """vmapped multi-view triangulation with a single packed download
+    [pts; ok] — separate fetches each cost a round trip on a tunneled
+    device."""
+    pts, ok = jax.vmap(triangulation.triangulate_point_multiview)(
+        Twc, uvn, mask)
+    return jnp.concatenate(
+        [pts.reshape(-1).astype(jnp.float32), ok.astype(jnp.float32)])
+
+
+@jax.jit
+def _fit_lines_packed(arr, mask):
+    """vmapped 3D line fits, packed [plucker; endpoints; ok]."""
+    L, eps, ok = jax.vmap(triangulation.fit_line3d_to_points)(arr, mask)
+    return jnp.concatenate([
+        L.reshape(-1).astype(jnp.float32),
+        eps.reshape(-1).astype(jnp.float32), ok.astype(jnp.float32)])
+
+
+@jax.jit
+def _line_endpoints_packed(plk, arr, mask):
+    """vmapped endpoint refresh, packed [endpoints; ok]."""
+    eps, ok = jax.vmap(triangulation.triangulate_line_endpoints)(
+        plk, arr, mask)
+    return jnp.concatenate(
+        [eps.reshape(-1).astype(jnp.float32), ok.astype(jnp.float32)])
+
+
 def _pad_pow2_batch(arrs: list, masks: list, P: int):
     """Stack per-line point sets and pad the batch dim to the next power
     of two (all-False masks on padded rows) so the vmapped triangulation
@@ -520,10 +549,29 @@ class SLAMSystem:
             else (np.asarray(inlier_row, bool) | (j < 0))
         )
         extend_good = valid & (pt >= 0) & (status == map_store.PT_GOOD) & inl_ok
-        new_stereo = valid & ~extend_good & (feats.depth > 0)
-        extend_pend = (valid & ~extend_good & ~new_stereo
+        # local-map association (track_local_map): BEFORE spawning fresh
+        # landmarks, try to re-associate unmatched keypoints with GOOD
+        # landmarks of the covisible local map by projection + descriptor
+        # (search_by_projection ≙ the reference's never-called
+        # TrackLocalMap, map_builder.cc:684-785) — a missed temporal match
+        # otherwise duplicates its landmark as a fresh stereo point
+        rec_pt = np.full(K_cap, -1, np.int64)
+        if self.cfg.pipeline.track_local_map:
+            for p_, k_ in self._associate_local_map(
+                    kf, np.where(extend_good, pt, -1)):
+                if valid[k_] and not extend_good[k_] and rec_pt[k_] < 0:
+                    rec_pt[k_] = p_
+        recovered = rec_pt >= 0
+        new_stereo = valid & ~extend_good & ~recovered & (feats.depth > 0)
+        extend_pend = (valid & ~extend_good & ~recovered & ~new_stereo
                        & (pt >= 0) & (status == map_store.PT_UNTRIANGULATED))
-        new_mono = valid & ~extend_good & ~new_stereo & ~extend_pend
+        new_mono = (valid & ~extend_good & ~recovered & ~new_stereo
+                    & ~extend_pend)
+        idx = np.nonzero(recovered)[0]
+        if len(idx):
+            _, first = np.unique(rec_pt[idx], return_index=True)
+            idx = idx[np.sort(first)]
+            self.map.add_point_obs_batch(rec_pt[idx], kf, idx)
 
         # extend existing mappoints (map.cc:40-60); if several keypoints
         # resolved to the same landmark (degenerate matching), keep the first
@@ -686,15 +734,37 @@ class SLAMSystem:
         if not lns:
             return
         arr_b, mask_b = _pad_pow2_batch(arrs, masks, P)
-        L, eps, ok = jax.vmap(tri.fit_line3d_to_points)(
-            jnp.asarray(arr_b), jnp.asarray(mask_b)
-        )
-        L, eps, ok = np.asarray(L), np.asarray(eps), np.asarray(ok)
+        B = len(mask_b)
+        buf = np.asarray(_fit_lines_packed(arr_b, mask_b))  # one round trip
+        L = buf[: 6 * B].reshape(B, 6)
+        eps = buf[6 * B: 12 * B].reshape(B, 2, 3)
+        ok = buf[12 * B:] > 0.5
         for i, ln in enumerate(lns):
             if ok[i]:
                 self.map.ln_plucker[ln] = L[i]
                 self.map.ln_endpoints[ln] = eps[i]
                 self.map.ln_has_endpoints[ln] = True
+
+    def _associate_local_map(self, kf: int,
+                             matched_pts: np.ndarray) -> list:
+        """Candidate (pt, kpt) re-associations for keyframe ``kf``:
+        project GOOD mappoints seen by the CURRENT local map (the
+        reference keyframe + its covisible neighbors — ``kf`` itself has
+        no covisibility yet) into ``kf`` and match them to keypoints by
+        descriptor (search_by_projection, ≙ map.cc:952-1005 — machinery
+        the reference defines but never calls, map_builder.cc:684-785).
+        ``matched_pts`` (landmark per keypoint slot, −1 = none) excludes
+        landmarks the temporal match already resolved."""
+        m = self.map
+        anchor = self._ref_kf
+        neigh = np.unique(np.concatenate(
+            [[anchor], m.neighbor_keyframes(anchor, max_n=9)])).astype(int)
+        seen = m.kf_track[neigh]
+        cand = np.unique(seen[seen >= 0])
+        cand = cand[~np.isin(cand, matched_pts[matched_pts >= 0])]
+        if len(cand) == 0:
+            return []
+        return m.search_by_projection(kf, cand)
 
     def _triangulate_pending_points(self, kf: int):
         """Batch multi-view triangulation of untriangulated mappoints that
@@ -724,14 +794,22 @@ class SLAMSystem:
             (uv - [cam.cx, cam.cy]) / [cam.fx, cam.fy],
             0.0,
         )
-        import jax
-
-        pts, ok = jax.vmap(triangulation.triangulate_point_multiview)(
-            jnp.asarray(Twc), jnp.asarray(uvn), jnp.asarray(mask)
-        )
-        ok = np.asarray(ok)
+        # pad the candidate dim to a power of two: one compiled graph per
+        # bucket instead of per distinct candidate count, padded rows have
+        # all-False masks (→ ok False)
+        n = len(cand)
+        B = 1 << (n - 1).bit_length() if n > 1 else 1
+        if B > n:
+            Twc = np.concatenate(
+                [Twc, np.tile(np.eye(4), (B - n, Twc.shape[1], 1, 1))])
+            uvn = np.concatenate([uvn, np.zeros((B - n,) + uvn.shape[1:])])
+            mask = np.concatenate(
+                [mask, np.zeros((B - n, mask.shape[1]), bool)])
+        buf = np.asarray(_tri_points_packed(Twc, uvn, mask))  # 1 round trip
+        pts = buf[: 3 * B].reshape(B, 3)[:n]
+        ok = (buf[3 * B:] > 0.5)[:n]
         sel = cand[ok]
-        self.map.pt_pos[sel] = np.asarray(pts)[ok]
+        self.map.pt_pos[sel] = pts[ok]
         self.map.pt_status[sel] = map_store.PT_GOOD
         # refresh representative descriptors of multi-view points
         self.map.update_mappoint_descriptors(sel)
@@ -806,13 +884,13 @@ class SLAMSystem:
         if not keep:
             return
         arr_b, mask_b = _pad_pow2_batch(arrs, masks, P)
-        plk = np.zeros((len(mask_b), 6))
+        B = len(mask_b)
+        plk = np.zeros((B, 6))
         plk[: len(keep)] = self.map.ln_plucker[np.asarray(keep)]
         plk[len(keep):, 3] = 1.0  # unit direction keeps padded rows finite
-        eps, ok = jax.vmap(tri.triangulate_line_endpoints)(
-            jnp.asarray(plk), jnp.asarray(arr_b), jnp.asarray(mask_b),
-        )
-        eps, ok = np.asarray(eps), np.asarray(ok)
+        buf = np.asarray(_line_endpoints_packed(plk, arr_b, mask_b))
+        eps = buf[: 6 * B].reshape(B, 2, 3)
+        ok = buf[6 * B:] > 0.5
         for i, ln in enumerate(keep):
             if ok[i]:
                 self.map.ln_endpoints[ln] = eps[i]
