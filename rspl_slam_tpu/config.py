@@ -207,6 +207,13 @@ class PipelineConfig:
     # tighten the BA window — this is a strict superset of the
     # reference's data association.
     track_local_map: bool = False
+    # Epipolar outlier rejection on matches: the reference's optional
+    # cv::findFundamentalMat(FM_RANSAC, 3, 0.99) pass after SuperGlue
+    # (point_matching.cc:35-45; default OFF there too — its call sites
+    # never enable it). On: every matcher output is filtered through
+    # ops.matching.fundamental_ransac_inliers; the fused one-dispatch
+    # paths fall back to the explicit multi-call schedule.
+    match_outlier_rejection: bool = False
 
 
 @dataclass(frozen=True)

@@ -232,6 +232,50 @@ def _complete_stereo_fused(match_fn, sg_params, sp_params, rcf_params,
     return jnp.concatenate(parts)
 
 
+@partial(jax.jit, static_argnames=("match_fn", "sp_cfg", "ds", "min_len",
+                                   "inlier_dist", "max_segs", "use_lines",
+                                   "compute_dtype"))
+def _eager_extract_fused(match_fn, m_params, sp_params, rcf_params,
+                         imgs, maps, sp_cfg, ds: int, min_len: float,
+                         inlier_dist: float, max_segs: int,
+                         use_lines: bool, compute_dtype):
+    """Eager (both-eyes) per-frame extraction as ONE dispatch: uint8→float
+    + rectify, batched SuperPoint over the stereo pair, in-graph stereo
+    matching, and (lines on) RCF + Hough on both edge maps — one packed
+    host-bound buffer [left features; xyR; validR; i0; segsL; segsR]."""
+    from rspl_slam_tpu.models import rcf, superpoint
+    from rspl_slam_tpu.ops import lines as lops
+
+    img = _to_unit_float(imgs)
+    if maps is not None:
+        img = _remap_batch(img, maps)
+    feats = superpoint.extract(sp_params, img, sp_cfg, compute_dtype)
+    i0 = match_fn(
+        m_params, feats.xy[:1], feats.score[:1], feats.desc[:1],
+        feats.valid[:1], feats.xy[1:], feats.score[1:], feats.desc[1:],
+        feats.valid[1:],
+    )[0]
+    f32 = jnp.float32
+    parts = [
+        jnp.concatenate([
+            feats.xy[0].astype(f32), feats.score[0][:, None].astype(f32),
+            feats.valid[0][:, None].astype(f32), feats.desc[0].astype(f32),
+        ], -1).reshape(-1),
+        feats.xy[1].astype(f32).reshape(-1), feats.valid[1].astype(f32),
+        i0.astype(f32),
+    ]
+    if use_lines:
+        edges = rcf.edge_map(rcf_params, _downsample_mean(img, ds),
+                             compute_dtype)
+        for b in (0, 1):
+            segs, sval, _ = lops.detect_line_segments(
+                edges[b], min_length=min_len, inlier_dist=inlier_dist,
+                max_segments=max_segs,
+            )
+            parts += [segs.astype(f32).reshape(-1), sval.astype(f32)]
+    return feats, jnp.concatenate(parts)
+
+
 @jax.jit
 def _prep_image(img: jnp.ndarray, maps) -> jnp.ndarray:
     """(B, H, W) uint8/float → rectified f32 [0,1] (maps None = no-op)."""
@@ -405,6 +449,9 @@ class NeuralFrontend:
                 else:
                     rcf_params = rcf.init_params(jax.random.PRNGKey(seed + 1))
             self.rcf_params = rcf_params
+        # optional epipolar outlier rejection (point_matching.cc:35-45)
+        self._orej = bool(cfg.pipeline.match_outlier_rejection)
+        self._orej_key = jax.random.PRNGKey(seed + 7)
         # in-graph matcher for the fused keyframe-completion dispatch
         # (shared machinery with fused_track.FusedTracker)
         if self.matcher == "superglue":
@@ -467,12 +514,29 @@ class NeuralFrontend:
         if self.matcher == "cosine":
             from rspl_slam_tpu.ops.matching import cosine_mutual_match
 
-            return np.asarray(cosine_mutual_match(d0, v0, d1, v1))
-        res = superglue.match_pair(
-            self.sg_params, xy0, sc0, d0, v0, xy1, sc1, d1, v1,
-            self.cfg.superglue, self.compute_dtype,
-        )
-        return np.asarray(res.indices0)
+            i0 = np.asarray(cosine_mutual_match(d0, v0, d1, v1))
+        else:
+            res = superglue.match_pair(
+                self.sg_params, xy0, sc0, d0, v0, xy1, sc1, d1, v1,
+                self.cfg.superglue, self.compute_dtype,
+            )
+            i0 = np.asarray(res.indices0)
+        if self._orej:
+            from rspl_slam_tpu.ops.matching import fundamental_ransac_inliers
+
+            i0 = np.array(i0)  # writable copy (np.asarray of jax is RO)
+            xy0 = np.asarray(xy0)
+            xy1 = np.asarray(xy1)
+            for b in range(i0.shape[0]):
+                self._orej_key, k = jax.random.split(self._orej_key)
+                matched = i0[b] >= 0
+                ok = np.asarray(fundamental_ransac_inliers(
+                    jnp.asarray(xy0[b]),
+                    jnp.asarray(xy1[b][np.maximum(i0[b], 0)]),
+                    jnp.asarray(matched), k,
+                ))
+                i0[b] = np.where(ok, i0[b], -1)
+        return i0
 
     def extract_pair(self, img_l: np.ndarray, img_r: np.ndarray) -> FrameFeatures:
         if self.lazy_right:
@@ -481,14 +545,67 @@ class NeuralFrontend:
             # keyframe completion (≙ the reference never touches the right
             # image on tracked frames either, map_builder.cc:165-166)
             return self._extract_left_lazy(img_l, img_r)
-        # single image-upload contract: 8-bit (4× fewer bytes over the
-        # link; lossless for 8-bit-sourced data — every dataset the
-        # reference reads is 8-bit PNG, dataset.cc:36), converted +
-        # rectified on device
-        imgs = _prep_image(
-            jnp.asarray(np.stack([_host_to_u8(img_l), _host_to_u8(img_r)])),
-            self._rect_maps,
-        )
+        # single image-upload contract: 8-bit when lossless (4× fewer
+        # bytes over the link — every dataset the reference reads is 8-bit
+        # PNG, dataset.cc:36), converted + rectified on device
+        imgs_u8 = np.stack([_host_to_u8(img_l), _host_to_u8(img_r)])
+        K = self.cfg.superpoint.max_keypoints
+        ld = self.cfg.line_detector
+        ds = max(1, int(getattr(ld, "downsample", 1)))
+        H, W = img_l.shape
+        lines_fused = (self.use_lines and ds > 1 and ld.rcf_at_detection_scale
+                       and H % (4 * ds) == 0 and W % (4 * ds) == 0)
+        if not self._orej and ((not self.use_lines) or lines_fused):
+            # everything in one dispatch + one packed download
+            feats, packed = _eager_extract_fused(
+                self._graph_match_fn, self._graph_match_params,
+                self.sp_params,
+                self.rcf_params if self.use_lines else (),
+                imgs_u8, self._rect_maps, self.cfg.superpoint, ds,
+                float(ld.length_threshold), float(ld.distance_threshold),
+                int(ld.max_lines), self.use_lines, self.compute_dtype,
+            )
+            buf = np.asarray(packed)  # the one blocking round trip
+            D = feats.desc.shape[-1]
+            row = 4 + D
+            fk = buf[: K * row].reshape(K, row)
+            o = K * row
+            xyL = np.ascontiguousarray(fk[:, :2])
+            validL = fk[:, 3] > 0.5
+            xyR = np.ascontiguousarray(buf[o: o + 2 * K].reshape(K, 2))
+            o += 2 * K
+            validR = buf[o: o + K] > 0.5
+            o += K
+            i0 = buf[o: o + K].astype(np.int64)
+            o += K
+            segs_pair = None
+            if self.use_lines:
+                S = int(ld.max_lines)
+                segs_pair = []
+                for _ in range(2):
+                    sv = buf[o: o + 5 * S].reshape(S, 5)
+                    o += 5 * S
+                    segs_pair.append(self._host_merge(
+                        np.ascontiguousarray(sv[sv[:, 4] > 0.5, :4]) * ds
+                    ))
+            uR, depth = _stereo_associate(self.cfg, xyL, xyR, validL,
+                                          validR, i0)
+            ff = FrameFeatures(
+                xy=xyL, score=np.ascontiguousarray(fk[:, 2]),
+                desc=np.ascontiguousarray(fk[:, 4:]), valid=validL,
+                meas=np.concatenate([xyL, uR[:, None]], -1), depth=depth,
+                dev=(feats.xy[0], feats.score[0], feats.desc[0],
+                     feats.valid[0]),
+            )
+            if self.use_lines:
+                ff = self._attach_lines(ff, None, xyR, validR, i0, uR,
+                                        segs_pair=segs_pair)
+            if self.keep_images:
+                ff.image = np.asarray(
+                    _prep_image(imgs_u8[:1], None if self._rect_maps is None
+                                else self._rect_maps[:1])[0])
+            return ff
+        imgs = _prep_image(imgs_u8, self._rect_maps)
         feats = superpoint.extract(
             self.sp_params, imgs, self.cfg.superpoint, self.compute_dtype
         )
@@ -652,7 +769,7 @@ class NeuralFrontend:
         H, W = img_np.shape
         lines_fused = (self.use_lines and ds > 1 and ld.rcf_at_detection_scale
                        and H % (4 * ds) == 0 and W % (4 * ds) == 0)
-        fused_ok = (not self.use_lines) or lines_fused
+        fused_ok = (not self._orej) and ((not self.use_lines) or lines_fused)
         if fused_ok:
             # one dispatch + one packed download for the whole right side
             K = self.cfg.superpoint.max_keypoints
@@ -717,13 +834,17 @@ class NeuralFrontend:
         return ff
 
     def _attach_lines(self, ff: FrameFeatures, imgs, xyR, validR,
-                      i0, uR) -> FrameFeatures:
+                      i0, uR, segs_pair=None) -> FrameFeatures:
         """Detect + merge lines for both images of the rectified (2, H, W)
-        stack, assign keypoints, and do stereo line matching via gated
-        stereo point matches (frame.cc:178-203)."""
+        stack (or take pre-detected ``segs_pair`` from the fused graph),
+        assign keypoints, and do stereo line matching via gated stereo
+        point matches (frame.cc:178-203)."""
         from rspl_slam_tpu.ops import lines as lops
 
-        segs_l, segs_r = self._extract_lines(imgs)
+        if segs_pair is not None:
+            segs_l, segs_r = segs_pair
+        else:
+            segs_l, segs_r = self._extract_lines(imgs)
         LN = self.cfg.line_detector.max_lines
         lines, line_valid = _pad_lines(segs_l, LN)
         members = np.zeros((LN, len(ff.xy)), bool)

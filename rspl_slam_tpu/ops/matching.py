@@ -8,6 +8,8 @@ expressed as fixed-shape masked array ops.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -93,3 +95,93 @@ def cosine_mutual_match(
         & ((1.0 - top) < ratio * (1.0 - second))
     )
     return jnp.where(ok, best0, -1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("iters", "threshold_px"))
+def fundamental_ransac_inliers(
+    xy0: jnp.ndarray,  # (K, 2) pixels in image 0
+    xy1: jnp.ndarray,  # (K, 2) matched pixels in image 1
+    matched: jnp.ndarray,  # (K,) bool — which rows are real matches
+    key: jax.Array,
+    iters: int = 128,
+    threshold_px: float = 3.0,
+):
+    """Epipolar outlier rejection ≙ the reference's optional
+    ``cv::findFundamentalMat(FM_RANSAC, 3, 0.99)`` pass over SuperGlue
+    matches (point_matching.cc:35-45; default OFF, exposed as a knob).
+
+    TPU-native batched hypothesize-and-verify: ``iters`` random 8-point
+    subsets each yield a fundamental matrix via the normalized 8-point
+    algorithm (smallest eigenvector of AᵀA — a batched 9×9 eigh instead of
+    a per-sample SVD loop), scored in one (H, K) Sampson-distance matrix;
+    the winner is refit on its consensus set. Returns (K,) bool: True for
+    matches within ``threshold_px`` Sampson distance of the best model
+    (False wherever ``matched`` is False).
+    """
+    K = xy0.shape[0]
+    m = matched.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(m), 1.0)
+
+    # Hartley normalization from the matched set's statistics
+    def norm_T(xy):
+        c = jnp.sum(xy * m[:, None], 0) / n
+        d = jnp.sqrt(jnp.sum(jnp.sum((xy - c) ** 2, -1) * m) / n)
+        s = jnp.sqrt(2.0) / jnp.maximum(d, 1e-6)
+        T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+        T = T.at[0, 0].set(s).at[1, 1].set(s)
+        T = T.at[0, 2].set(-s * c[0]).at[1, 2].set(-s * c[1])
+        return T, (xy - c) * s
+
+    T0, q0 = norm_T(xy0)
+    T1, q1 = norm_T(xy1)
+
+    # constraint rows: [x1x0, x1y0, x1, y1x0, y1y0, y1, x0, y0, 1]
+    x0, y0 = q0[:, 0], q0[:, 1]
+    x1, y1 = q1[:, 0], q1[:, 1]
+    A = jnp.stack([x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1,
+                   x0, y0, jnp.ones_like(x0)], -1)  # (K, 9)
+
+    def solve_f(w):
+        """min ‖diag(w)·A·f‖: eigenvector of AᵀWA for the smallest
+        eigenvalue, rank-2-projected."""
+        M = jnp.einsum("ki,k,kj->ij", A, w, A)
+        evals, evecs = jnp.linalg.eigh(M)
+        f = evecs[:, 0]
+        F = f.reshape(3, 3)
+        # rank-2 enforcement via SVD (3×3 — tiny, batched by vmap)
+        U, S, Vt = jnp.linalg.svd(F)
+        F = (U * S.at[2].set(0.0)[None, :]) @ Vt
+        return T1.T @ F @ T0  # denormalize to pixel coords
+
+    logits = jnp.where(matched, 0.0, -1e9)
+    keys = jax.random.split(key, iters)
+
+    def hypothesis(k):
+        idx = jax.random.categorical(k, logits, shape=(8,))
+        w = jnp.zeros((K,), jnp.float32).at[idx].set(1.0) * m
+        return solve_f(w)
+
+    Fs = jax.vmap(hypothesis)(keys)  # (H, 3, 3)
+
+    h0 = jnp.concatenate([xy0, jnp.ones((K, 1))], -1)  # pixel homogeneous
+    h1 = jnp.concatenate([xy1, jnp.ones((K, 1))], -1)
+
+    def sampson(F):
+        Fx0 = h0 @ F.T  # (K, 3) = F·x0
+        Ftx1 = h1 @ F  # (K, 3) = Fᵀ·x1
+        e = jnp.sum(h1 * Fx0, -1)
+        denom = Fx0[:, 0] ** 2 + Fx0[:, 1] ** 2 \
+            + Ftx1[:, 0] ** 2 + Ftx1[:, 1] ** 2
+        return e * e / jnp.maximum(denom, 1e-12)
+
+    d2 = jax.vmap(sampson)(Fs)  # (H, K)
+    inl = (d2 < threshold_px ** 2) & matched[None]
+    counts = jnp.sum(inl, -1)
+    best = jnp.argmax(counts)
+    # refit on the winning consensus and rescore (cv's final model is also
+    # a least-squares fit over the RANSAC inliers)
+    F_fin = solve_f(inl[best].astype(jnp.float32))
+    ok = (sampson(F_fin) < threshold_px ** 2) & matched
+    # degenerate guard: a hypothesis set with <8 usable matches can't
+    # constrain F — keep the original matches untouched then
+    return jnp.where(jnp.sum(matched) >= 8, ok, matched)

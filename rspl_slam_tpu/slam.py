@@ -128,8 +128,11 @@ class SLAMSystem:
         # fused tracking (match+PnP+LM in one dispatch, fused_track.py)
         # auto-enables for frontends with a device-side matcher
         if fused_tracking is None:
-            fused_tracking = getattr(frontend, "matcher", None) in (
-                "superglue", "cosine")
+            fused_tracking = (
+                getattr(frontend, "matcher", None) in ("superglue", "cosine")
+                # epipolar rejection lives on the host match path
+                and not cfg.pipeline.match_outlier_rejection
+            )
         self._fused_enabled = fused_tracking
         self._fused = None
         self.enable_lines = cfg.use_lines if enable_lines is None else enable_lines
