@@ -77,11 +77,12 @@ def measured_pipeline(n_frames: int = 36):
     against, not substituted for, the real loop). Returns a dict of
     measured keys.
 
-    The measured number INCLUDES the per-dispatch host↔device RTT of this
-    environment's tunneled device (~tens of ms per call); the fused
-    extraction + fused tracking steps bound the steady state to two
-    dispatches per tracked frame, so the reconciliation against the
-    RTT-free stage model is `measured ≈ modeled + 2·rtt` per frame."""
+    The measured number INCLUDES per-round-trip tunnel latency (~tens of
+    ms per RPC); the fused extraction + fused tracking steps bound the
+    steady state to two dispatch chains per tracked frame (each: argument
+    upload + execute + one packed fetch). The reconciliation block in the
+    main JSON quantifies the residual round trips per frame against the
+    RTT-free stage model."""
     import dataclasses
 
     import jax
@@ -636,19 +637,26 @@ def main():
     measured = measured_pipeline()
     modeled_ms = dt_frame_lazy_pipe * 1e3
     measured_ms = measured["measured_pipeline_ms_per_frame"]
-    # steady state = 2 dispatches per tracked frame (fused extract + fused
-    # track), each paying the tunnel RTT the stage model subtracts
-    rtt_accounted_ms = modeled_ms + 2.0 * rtt * 1e3
+    # reconcile the gap: steady state is TWO dispatch chains per tracked
+    # frame (fused extract, fused track), each = argument upload + execute
+    # + one packed fetch, serialized over the tunnel; keyframe spans
+    # amortize on top. The residual divided by the measured RTT gives the
+    # round trips per frame the loop actually pays — the stage model is
+    # the RTT-free number (what a co-located host sees).
+    med = measured["measured_span_medians_ms"]
+    kf_ms = (med.get("kf_insert", 0.0) + med.get("local_ba", 0.0)) \
+        * measured["measured_keyframes"] / measured["measured_frames"]
+    residual = max(measured_ms - modeled_ms - kf_ms, 0.0)
     measured["reconciliation"] = {
         "modeled_rtt_free_ms": round(modeled_ms, 2),
         "rtt_ms_per_dispatch": round(rtt * 1e3, 2),
-        "modeled_plus_2rtt_ms": round(rtt_accounted_ms, 2),
+        "keyframe_amortized_ms": round(kf_ms, 2),
         "measured_ms": measured_ms,
-        "measured_over_modeled_plus_2rtt": round(
-            measured_ms / rtt_accounted_ms, 2),
-        "note": "the measured loop includes per-dispatch host<->device RTT "
-                "of this environment's tunneled single chip; the stage "
-                "model is the RTT-free per-chip number",
+        "residual_round_trips_per_frame": round(residual / (rtt * 1e3), 2),
+        "note": "the measured loop includes per-round-trip tunnel latency "
+                "(~2-3 RTTs per dispatch chain x 2 chains/frame) that the "
+                "RTT-free stage model subtracts; on co-located hardware "
+                "the stage model is the per-chip number",
     }
 
     print(json.dumps({
