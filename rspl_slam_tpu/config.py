@@ -214,6 +214,11 @@ class PipelineConfig:
     # ops.matching.fundamental_ransac_inliers; the fused one-dispatch
     # paths fall back to the explicit multi-call schedule.
     match_outlier_rejection: bool = False
+    # Combine extraction + tracking of a frame into ONE dispatch chain
+    # (frame_step.CombinedTracker) when the frontend supports it
+    # (lazy-right NeuralFrontend): strictly fewer host↔device round trips
+    # per frame. Off → two fused chains (extract ∥ track threads).
+    combined_frame_step: bool = True
 
 
 @dataclass(frozen=True)

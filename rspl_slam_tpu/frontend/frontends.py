@@ -285,17 +285,20 @@ def _prep_image(img: jnp.ndarray, maps) -> jnp.ndarray:
     return img
 
 
-@partial(jax.jit, static_argnames=("sp_cfg", "ds", "min_len", "inlier_dist",
-                                   "max_segs", "compute_dtype"))
-def _lazy_extract_fused(sp_params, rcf_params, img, maps, sp_cfg, ds: int,
-                        min_len: float, inlier_dist: float, max_segs: int,
-                        compute_dtype):
-    """Per-frame lazy-right extraction as ONE device dispatch: uint8→float
-    conversion, rectification (when ``maps`` is not None), SuperPoint +
-    RCF (at detection scale) + Hough segment detection on the left image.
-    The r03 production path issued these as three separate dispatches,
-    each paying host↔device RTT (VERDICT r03 weak #3); bench.py's
-    frame_step_lazy already proved the fused graph out."""
+def lazy_extract_core(sp_params, rcf_params, img, maps, sp_cfg, ds: int,
+                      min_len: float, inlier_dist: float, max_segs: int,
+                      use_lines: bool, compute_dtype):
+    """Per-frame lazy-right extraction, traceable inside a larger graph:
+    uint8→float conversion, rectification (when ``maps`` is not None),
+    SuperPoint + (lines on) RCF at detection scale + Hough segment
+    detection on the left image. The r03 production path issued these as
+    three separate dispatches, each paying host↔device RTT (VERDICT r03
+    weak #3); bench.py's frame_step_lazy already proved the fused graph
+    out.
+
+    Returns (feats, packed): ``packed`` carries every host-bound output in
+    ONE f32 buffer — each np.asarray of a device output is a separate
+    blocking round trip on a tunneled device (~25 ms RTT measured)."""
     from rspl_slam_tpu.models import rcf, superpoint
     from rspl_slam_tpu.ops import lines as lops
 
@@ -303,25 +306,27 @@ def _lazy_extract_fused(sp_params, rcf_params, img, maps, sp_cfg, ds: int,
     if maps is not None:
         img = _remap_batch(img, maps)
     feats = superpoint.extract(sp_params, img, sp_cfg, compute_dtype)
-    edges = rcf.edge_map(rcf_params, _downsample_mean(img, ds), compute_dtype)
-    segs, valid, _ = lops.detect_line_segments(
-        edges[0], min_length=min_len, inlier_dist=inlier_dist,
-        max_segments=max_segs,
-    )
-    # pack every host-bound output into ONE f32 buffer: each np.asarray of
-    # a device output is a separate blocking round trip on a tunneled
-    # device (~25 ms RTT measured), so the frame's features+segments come
-    # back in a single download
     f32 = jnp.float32
-    packed = jnp.concatenate([
-        jnp.concatenate([
-            feats.xy[0].astype(f32), feats.score[0][:, None].astype(f32),
-            feats.valid[0][:, None].astype(f32), feats.desc[0].astype(f32),
-        ], -1).reshape(-1),
-        jnp.concatenate([segs.astype(f32),
-                         valid[:, None].astype(f32)], -1).reshape(-1),
-    ])
-    return feats, packed
+    parts = [jnp.concatenate([
+        feats.xy[0].astype(f32), feats.score[0][:, None].astype(f32),
+        feats.valid[0][:, None].astype(f32), feats.desc[0].astype(f32),
+    ], -1).reshape(-1)]
+    if use_lines:
+        edges = rcf.edge_map(rcf_params, _downsample_mean(img, ds),
+                             compute_dtype)
+        segs, valid, _ = lops.detect_line_segments(
+            edges[0], min_length=min_len, inlier_dist=inlier_dist,
+            max_segments=max_segs,
+        )
+        parts.append(jnp.concatenate(
+            [segs.astype(f32), valid[:, None].astype(f32)], -1).reshape(-1))
+    return feats, jnp.concatenate(parts)
+
+
+_lazy_extract_fused = partial(
+    jax.jit, static_argnames=("sp_cfg", "ds", "min_len", "inlier_dist",
+                              "max_segs", "use_lines", "compute_dtype")
+)(lazy_extract_core)
 
 
 @jax.jit
@@ -509,6 +514,50 @@ class NeuralFrontend:
             segs = lops.filter_short_lines(segs, 60.0)
         return segs
 
+    def make_lazy_unpack(self, D: int, ds: int):
+        """Host parser for the packed lazy-extraction buffer: per-keypoint
+        rows [xy(2), score, valid, desc(D)] then, with lines enabled,
+        per-segment rows [x1,y1,x2,y2, valid] (merged + assigned here)."""
+        K = self.cfg.superpoint.max_keypoints
+        LN = int(self.cfg.line_detector.max_lines)
+        use_lines = self.use_lines
+
+        def unpack(buf):
+            from rspl_slam_tpu.ops import lines as lops
+
+            row = 4 + D
+            fk = buf[: K * row].reshape(K, row)
+            xyL = np.ascontiguousarray(fk[:, :2])
+            validL = fk[:, 3] > 0.5
+            out = dict(
+                xy=xyL, score=np.ascontiguousarray(fk[:, 2]),
+                valid=validL, desc=np.ascontiguousarray(fk[:, 4:]),
+                meas=np.concatenate(
+                    [xyL, np.full((K, 1), -1.0, np.float32)], -1),
+                depth=np.zeros(K, np.float32),
+            )
+            if use_lines:
+                sv = buf[K * row: K * row + 5 * LN].reshape(LN, 5)
+                segs_l = self._host_merge(
+                    np.ascontiguousarray(sv[sv[:, 4] > 0.5, :4]) * ds
+                )
+                lines, line_valid = _pad_lines(segs_l, LN)
+                members = np.zeros((LN, K), bool)
+                nl = int(line_valid.sum())
+                if nl:
+                    members[:nl] = lops.assign_points_to_lines(
+                        lines[:nl], xyL, validL
+                    )
+                out.update(
+                    lines=lines, line_valid=line_valid,
+                    lines_right=np.zeros((LN, 4), np.float32),
+                    line_has_right=np.zeros(LN, bool),
+                    line_members=members,
+                )
+            return out
+
+        return unpack
+
     def _match_indices(self, xy0, sc0, d0, v0, xy1, sc1, d1, v1) -> np.ndarray:
         """Batched matching of (B,...) keypoint sets → indices0 (B, K)."""
         if self.matcher == "cosine":
@@ -654,63 +703,33 @@ class NeuralFrontend:
         ds = max(1, int(getattr(ld, "downsample", 1)))
         H, W = img_l.shape
         map_l = None if self._rect_maps is None else self._rect_maps[:1]
-        fused_ok = (
-            self.use_lines and ds > 1 and ld.rcf_at_detection_scale
+        fused_ok = (not self.use_lines) or (
+            ds > 1 and ld.rcf_at_detection_scale
             and H % (4 * ds) == 0 and W % (4 * ds) == 0
         )
         # np argument: the upload rides the jit dispatch (one RPC) instead
         # of a separate blocking device_put
         il_u8 = _host_to_u8(img_l)[None]
         if fused_ok:
-            # production default: keypoints + edge map + Hough segments in
-            # one dispatch (_lazy_extract_fused); host-bound results ride
-            # in ONE packed device buffer, downloaded on demand
+            # production default: keypoints (+ edge map + Hough segments)
+            # in one dispatch (_lazy_extract_fused); host-bound results
+            # ride in ONE packed device buffer, downloaded on demand
             feats, packed = _lazy_extract_fused(
-                self.sp_params, self.rcf_params, il_u8, map_l,
+                self.sp_params,
+                self.rcf_params if self.use_lines else (),
+                il_u8, map_l,
                 self.cfg.superpoint, ds, float(ld.length_threshold),
                 float(ld.distance_threshold), int(ld.max_lines),
-                self.compute_dtype,
+                self.use_lines, self.compute_dtype,
             )
-            D = feats.desc.shape[-1]
-            LN = int(ld.max_lines)
-
-            def unpack(buf, K=K, D=D, ds=ds, LN=LN):
-                from rspl_slam_tpu.ops import lines as lops
-
-                row = 4 + D
-                fk = buf[: K * row].reshape(K, row)
-                xyL = np.ascontiguousarray(fk[:, :2])
-                validL = fk[:, 3] > 0.5
-                sv = buf[K * row:].reshape(-1, 5)
-                segs_l = self._host_merge(
-                    np.ascontiguousarray(sv[sv[:, 4] > 0.5, :4]) * ds
-                )
-                lines, line_valid = _pad_lines(segs_l, LN)
-                members = np.zeros((LN, K), bool)
-                nl = int(line_valid.sum())
-                if nl:
-                    members[:nl] = lops.assign_points_to_lines(
-                        lines[:nl], xyL, validL
-                    )
-                return dict(
-                    xy=xyL, score=np.ascontiguousarray(fk[:, 2]),
-                    valid=validL, desc=np.ascontiguousarray(fk[:, 4:]),
-                    meas=np.concatenate(
-                        [xyL, np.full((K, 1), -1.0, np.float32)], -1),
-                    depth=np.zeros(K, np.float32),
-                    lines=lines, line_valid=line_valid,
-                    lines_right=np.zeros((LN, 4), np.float32),
-                    line_has_right=np.zeros(LN, bool),
-                    line_members=members,
-                )
-
             ff = FrameFeatures(
                 # host-held raw right image: uploaded (uint8) + rectified
                 # only if this frame becomes a keyframe
                 pending_right=_host_to_u8(img_r),
                 dev=(feats.xy[0], feats.score[0], feats.desc[0],
                      feats.valid[0]),
-                packed=packed, unpack=unpack,
+                packed=packed,
+                unpack=self.make_lazy_unpack(feats.desc.shape[-1], ds),
             )
             if self.keep_images:
                 ff.image = np.asarray(_prep_image(il_u8, map_l)[0])

@@ -40,26 +40,19 @@ from rspl_slam_tpu.geometry import se3
 __all__ = ["FusedTracker"]
 
 
-@partial(jax.jit, static_argnames=("match_fn", "chi2_mono", "chi2_stereo"))
-def _fused_step(
+def fused_track_core(
     match_fn,
     sg_params,
     K: CameraIntrinsics,
-    q_xy, q_score, q_desc, q_valid,  # (Kp,...) query features (device)
-    r_xy, r_score, r_desc, r_valid,  # reference keyframe features (device)
-    host,  # (Kp*5 + 17,) packed host state: [uR; ref_pos; ref_good;
-    #        Twc_last(16); seed]
+    q_xy, q_score, q_desc, q_valid,  # (Kp,...) query features (traced)
+    r_xy, r_score, r_desc, r_valid,  # reference keyframe features
+    q_ur,  # (Kp,) right-image u column (−1 = mono)
+    ref_pos, ref_good, Twc_last, key,
     chi2_mono: float,
     chi2_stereo: float,
 ):
-    Kp = q_xy.shape[0]
-    q_ur = host[:Kp]
-    ref_pos = host[Kp: 4 * Kp].reshape(Kp, 3)
-    ref_good = host[4 * Kp: 5 * Kp] > 0.5
-    Twc_last = host[5 * Kp: 5 * Kp + 16].reshape(4, 4)
-    seed = host[5 * Kp + 16].astype(jnp.int32)
-    key = jax.random.PRNGKey(seed)
-
+    """Matching + association + PnP + pose LM, traceable inside a larger
+    graph. Returns the packed track vector [i0; inlier; Twc(16); n_inl]."""
     i0 = match_fn(
         sg_params,
         q_xy[None], q_score[None], q_desc[None], q_valid[None],
@@ -96,6 +89,31 @@ def _fused_step(
         i0.astype(f32), inlier.astype(f32), Twc_opt.reshape(16).astype(f32),
         n_inl[None].astype(f32),
     ])
+
+
+@partial(jax.jit, static_argnames=("match_fn", "chi2_mono", "chi2_stereo"))
+def _fused_step(
+    match_fn,
+    sg_params,
+    K: CameraIntrinsics,
+    q_xy, q_score, q_desc, q_valid,  # (Kp,...) query features (device)
+    r_xy, r_score, r_desc, r_valid,  # reference keyframe features (device)
+    host,  # (Kp*5 + 17,) packed host state: [uR; ref_pos; ref_good;
+    #        Twc_last(16); seed]
+    chi2_mono: float,
+    chi2_stereo: float,
+):
+    Kp = q_xy.shape[0]
+    q_ur = host[:Kp]
+    ref_pos = host[Kp: 4 * Kp].reshape(Kp, 3)
+    ref_good = host[4 * Kp: 5 * Kp] > 0.5
+    Twc_last = host[5 * Kp: 5 * Kp + 16].reshape(4, 4)
+    key = jax.random.PRNGKey(host[5 * Kp + 16].astype(jnp.int32))
+    return fused_track_core(
+        match_fn, sg_params, K, q_xy, q_score, q_desc, q_valid,
+        r_xy, r_score, r_desc, r_valid, q_ur, ref_pos, ref_good, Twc_last,
+        key, chi2_mono, chi2_stereo,
+    )
 
 
 class FusedTracker:

@@ -29,6 +29,17 @@ __all__ = ["PipelinedRunner"]
 _SENTINEL = object()
 
 
+class _RawImages:
+    """Queue marker: an undecoded stereo pair headed for the combined
+    extraction+tracking step (slam.add_frame)."""
+
+    __slots__ = ("il", "ir")
+
+    def __init__(self, il, ir):
+        self.il = il
+        self.ir = ir
+
+
 class PipelinedRunner:
     def __init__(self, slam, dataset=None, queue_depth: int = 3,
                  feature_depth: int = 2, on_record=None):
@@ -67,6 +78,12 @@ class PipelinedRunner:
                 if item is _SENTINEL:
                     break
                 index, t, il, ir = item
+                # combined one-dispatch mode: raw images flow to the
+                # tracking thread, which runs extraction+tracking as ONE
+                # graph (slam.wants_images flips true once initialized)
+                if getattr(self.slam, "wants_images", lambda: False)():
+                    self._feat_q.put((index, t, _RawImages(il, ir)))
+                    continue
                 feats = self.slam.frontend.extract_pair(il, ir)
                 self._feat_q.put((index, t, feats))
         except Exception as e:
@@ -109,7 +126,11 @@ class PipelinedRunner:
             if item is _SENTINEL:
                 break
             index, t, feats = item
-            rec = self.slam.add_frame_features(index, t, feats)
+            if isinstance(feats, _RawImages):
+                rec = self.slam.add_frame(index, t, feats.il, feats.ir)
+                feats = self.slam._last_feats
+            else:
+                rec = self.slam.add_frame_features(index, t, feats)
             if self.on_record is not None:
                 self.on_record(rec, feats)
             records.append(rec)
@@ -127,7 +148,11 @@ class PipelinedRunner:
             if item is _SENTINEL:
                 break
             index, t, feats = item
-            rec = self.slam.add_frame_features(index, t, feats)
+            if isinstance(feats, _RawImages):
+                rec = self.slam.add_frame(index, t, feats.il, feats.ir)
+                feats = self.slam._last_feats
+            else:
+                rec = self.slam.add_frame_features(index, t, feats)
             if self.on_record is not None:
                 self.on_record(rec, feats)
             records.append(rec)

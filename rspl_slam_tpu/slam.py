@@ -135,6 +135,7 @@ class SLAMSystem:
             )
         self._fused_enabled = fused_tracking
         self._fused = None
+        self._combined = None  # lazily-built frame_step.CombinedTracker
         self.enable_lines = cfg.use_lines if enable_lines is None else enable_lines
         cam = cfg.camera
         self.K = CameraIntrinsics(cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
@@ -180,10 +181,55 @@ class SLAMSystem:
 
     # ------------------------------------------------------------------ api
     def add_frame(self, index: int, t: float, img_l, img_r) -> FrameRecord:
+        if self.wants_images():
+            return self._add_frame_combined(index, t, img_l, img_r)
         t0 = time.perf_counter()
         feats = self.frontend.extract_pair(img_l, img_r)
         self._t("extract", t0)
         return self.add_frame_features(index, t, feats)
+
+    def wants_images(self) -> bool:
+        """True when the combined one-dispatch frame step applies: raw
+        images should flow to :meth:`add_frame` rather than through a
+        separate extraction stage (PipelinedRunner consults this)."""
+        if not (
+            self.initialized and self._fused_enabled
+            and self.cfg.pipeline.combined_frame_step
+            and getattr(self.frontend, "lazy_right", False)
+        ):
+            return False
+        if self._combined is None:
+            from rspl_slam_tpu.frame_step import CombinedTracker
+
+            tcfg = self.cfg.optimization.tracking
+            self._combined = CombinedTracker(
+                self.frontend, self.K, tcfg.mono_point, tcfg.stereo_point)
+        return self._combined.supported(self._ref_feats)
+
+    def _add_frame_combined(self, index: int, t: float, img_l,
+                            img_r) -> FrameRecord:
+        """Extraction + tracking in one dispatch chain
+        (frame_step.CombinedTracker), then the regular tracking policy."""
+        t0 = time.perf_counter()
+        index = index + self._index_offset
+        ref_pt = self.map.kf_track[self._ref_kf]
+        safe = np.maximum(ref_pt, 0)
+        ref_good = (ref_pt >= 0) & (
+            self.map.pt_status[safe] == map_store.PT_GOOD)
+        ref_pos = self.map.pt_pos[safe]
+        ff, i0, Twc, n_inl, inlier = self._combined.step(
+            img_l, img_r, self._ref_feats, ref_pos, ref_good,
+            self._last_Twc)
+        # post-LM sanity jump check, same as the other paths
+        if np.linalg.norm(Twc[:3, 3] - self._last_Twc[:3, 3]) > 0.5:
+            Twc = self._last_Twc.copy()
+        self._t("frame_combined", t0)
+        rec = self._track(index, t, ff, i0=i0,
+                          fused_pose=(Twc, n_inl, inlier))
+        self.records.append(rec)
+        self._last_feats = ff
+        self._last_frame_meta = (index, t, rec.Twc)
+        return rec
 
     def add_frame_features(self, index: int, t: float, feats,
                            i0: np.ndarray | None = None) -> FrameRecord:
@@ -315,10 +361,10 @@ class SLAMSystem:
         return i0, (Twc, n_inl, inlier)
 
     def _track(self, index: int, t: float, feats: FrameFeatures,
-               i0: np.ndarray | None = None) -> FrameRecord:
+               i0: np.ndarray | None = None,
+               fused_pose=None) -> FrameRecord:
         t0 = time.perf_counter()
-        fused_pose = None
-        if i0 is None and self._fused_enabled:
+        if fused_pose is None and i0 is None and self._fused_enabled:
             i0, fused_pose = self._fused_track(feats)
             self._t("track_fused", t0)
         elif i0 is None:

@@ -73,3 +73,99 @@ class TestFusedTracking:
         gt = np.einsum("ij,njk->nik", INIT_POSE, traj)
         res = absolute_trajectory_error(ts, est[:, :3, 3], ts, gt[:, :3, 3])
         assert res["rmse"] < 0.3, res
+
+
+class TestCombinedFrameStep:
+    """Combined extraction+tracking dispatch (frame_step.CombinedTracker):
+    one device round trip per tracked frame in lazy mode."""
+
+    def _run(self, combined: bool, n: int = 8):
+        import dataclasses as dc
+
+        from rspl_slam_tpu.config import LineDetectorConfig, PipelineConfig
+
+        cfg = small_cfg()
+        cfg = dc.replace(
+            cfg,
+            pipeline=PipelineConfig(lazy_right_extraction=True,
+                                    combined_frame_step=combined),
+            line_detector=LineDetectorConfig(max_lines=32),
+            use_lines=True,
+        )
+        scene = synthetic.make_scene(num_points=500, num_lines=6, seed=1,
+                                     extent=(6.0, 4.0, 6.0),
+                                     on_line_frac=0.0)
+        traj = synthetic.make_trajectory(n, step=0.06)
+        fe = NeuralFrontend(cfg, matcher="cosine")
+        slam = SLAMSystem(cfg, fe)
+        recs = []
+        for i in range(n):
+            il, ir = synthetic.render_images(scene, cfg.camera, traj[i],
+                                             seed=i)
+            il = (np.clip(il, 0, 1) * 255).astype(np.uint8)
+            ir = (np.clip(ir, 0, 1) * 255).astype(np.uint8)
+            recs.append(slam.add_frame(i, i * 0.05, il, ir))
+        return slam, recs
+
+    def test_matches_split_path(self):
+        slam_c, recs_c = self._run(True)
+        slam_s, recs_s = self._run(False)
+        assert slam_c.initialized and slam_s.initialized
+        # combined path actually ran (and only on tracked frames)
+        assert len(slam_c.timings.get("frame_combined", [])) >= 6
+        assert "frame_combined" not in slam_s.timings
+        est_c = np.stack([r.Twc for r in recs_c])
+        est_s = np.stack([r.Twc for r in recs_s])
+        # same matcher, same solver — only the PnP key stream differs
+        d = np.linalg.norm(est_c[:, :3, 3] - est_s[:, :3, 3], axis=1)
+        assert d.max() < 0.02, d
+        # keyframe structure agrees
+        assert slam_c.map.n_kf == slam_s.map.n_kf
+
+    def test_pipelined_runner_uses_combined(self):
+        from rspl_slam_tpu.datasets import StereoFrame
+        from rspl_slam_tpu.pipeline import PipelinedRunner
+
+        import dataclasses as dc
+
+        from rspl_slam_tpu.config import LineDetectorConfig, PipelineConfig
+
+        cfg = small_cfg()
+        cfg = dc.replace(
+            cfg,
+            pipeline=PipelineConfig(lazy_right_extraction=True),
+            line_detector=LineDetectorConfig(max_lines=32),
+            use_lines=True,
+        )
+        scene = synthetic.make_scene(num_points=500, num_lines=6, seed=1,
+                                     extent=(6.0, 4.0, 6.0),
+                                     on_line_frac=0.0)
+        traj = synthetic.make_trajectory(8, step=0.06)
+        frames = []
+        for i in range(8):
+            il, ir = synthetic.render_images(scene, cfg.camera, traj[i],
+                                             seed=i)
+            frames.append(((np.clip(il, 0, 1) * 255).astype(np.uint8),
+                           (np.clip(ir, 0, 1) * 255).astype(np.uint8)))
+
+        class DS:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                return StereoFrame(index=i, time=i * 0.05,
+                                   image_left=frames[i][0],
+                                   image_right=frames[i][1])
+
+        fe = NeuralFrontend(cfg, matcher="cosine")
+        slam = SLAMSystem(cfg, fe)
+        runner = PipelinedRunner(slam, dataset=DS())
+        recs = runner.run()
+        assert len(recs) == 8
+        assert slam.initialized
+        # frames already extracted while initialization was in flight take
+        # the split path; the steady state switches to combined
+        n_combined = len(slam.timings.get("frame_combined", []))
+        n_fused = len(slam.timings.get("track_fused", []))
+        assert n_combined >= 2, slam.timings
+        assert n_combined + n_fused == 7  # every tracked frame covered
