@@ -17,7 +17,7 @@ drive it. Two implementations:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -170,10 +170,16 @@ def _host_to_u8(img: np.ndarray) -> np.ndarray:
     return np.asarray(img, np.float32)
 
 
+@lru_cache(maxsize=None)
 def make_superglue_match_fn(cfg, compute_dtype):
     """In-graph SuperGlue matcher (params, 8 batched feature arrays) →
     indices0. Shared by the fused tracking step and the fused keyframe
-    completion."""
+    completion.
+
+    MEMOIZED by (cfg, dtype): these closures are STATIC jit arguments of
+    every fused graph, so a fresh closure per frontend instance would
+    recompile the whole fused family for every new SLAMSystem — seconds
+    per graph (tens over a tunneled device)."""
     def fn(params, xy0, sc0, d0, v0, xy1, sc1, d1, v1):
         from rspl_slam_tpu.models import superglue
 
@@ -184,13 +190,14 @@ def make_superglue_match_fn(cfg, compute_dtype):
     return fn
 
 
+def _cosine_match_fn(params, xy0, sc0, d0, v0, xy1, sc1, d1, v1):
+    from rspl_slam_tpu.ops.matching import cosine_mutual_match
+
+    return cosine_mutual_match(d0, v0, d1, v1)
+
+
 def make_cosine_match_fn():
-    def fn(params, xy0, sc0, d0, v0, xy1, sc1, d1, v1):
-        from rspl_slam_tpu.ops.matching import cosine_mutual_match
-
-        return cosine_mutual_match(d0, v0, d1, v1)
-
-    return fn
+    return _cosine_match_fn  # one module-level function: stable jit key
 
 
 @partial(jax.jit, static_argnames=("match_fn", "sp_cfg", "ds", "min_len",

@@ -90,13 +90,15 @@ def _line_endpoints_packed(plk, arr, mask):
         [eps.reshape(-1).astype(jnp.float32), ok.astype(jnp.float32)])
 
 
-def _pad_pow2_batch(arrs: list, masks: list, P: int):
+def _pad_pow2_batch(arrs: list, masks: list, P: int, lo: int = 32):
     """Stack per-line point sets and pad the batch dim to the next power
-    of two (all-False masks on padded rows) so the vmapped triangulation
-    kernels compile for a handful of bucket sizes instead of every
-    distinct line count."""
+    of two with a floor of ``lo`` (all-False masks on padded rows): the
+    vmapped triangulation kernels compile for one or two bucket sizes
+    instead of every distinct line count — a fresh compile costs seconds
+    (tens of seconds over a tunneled device), far more than the padded
+    rows' arithmetic ever will."""
     B = len(arrs)
-    cap = 1 << (B - 1).bit_length() if B > 1 else 1
+    cap = max(lo, 1 << (B - 1).bit_length() if B > 1 else 1)
     arr = np.zeros((cap, P, 3))
     mask = np.zeros((cap, P), bool)
     arr[:B] = np.stack(arrs)
@@ -843,11 +845,11 @@ class SLAMSystem:
             (uv - [cam.cx, cam.cy]) / [cam.fx, cam.fy],
             0.0,
         )
-        # pad the candidate dim to a power of two: one compiled graph per
-        # bucket instead of per distinct candidate count, padded rows have
-        # all-False masks (→ ok False)
+        # pad the candidate dim to a power of two with a generous floor:
+        # one or two compiled graphs total instead of per distinct
+        # candidate count; padded rows have all-False masks (→ ok False)
         n = len(cand)
-        B = 1 << (n - 1).bit_length() if n > 1 else 1
+        B = max(512, 1 << (n - 1).bit_length() if n > 1 else 1)
         if B > n:
             Twc = np.concatenate(
                 [Twc, np.tile(np.eye(4), (B - n, Twc.shape[1], 1, 1))])
