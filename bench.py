@@ -59,10 +59,16 @@ def _peak_flops(device) -> float | None:
 
 
 def _graph_flops(jitted, *args) -> float | None:
-    """XLA cost-analysis FLOPs of a compiled graph (per invocation)."""
+    """XLA cost-analysis FLOPs of a graph (per invocation). Prefers the
+    HLO-level analysis on the LOWERED computation (no backend compile —
+    compiles cost tens of seconds over a tunneled device); falls back to
+    compiling."""
     try:
-        c = jitted.lower(*args).compile()
-        ca = c.cost_analysis()
+        lowered = jitted.lower(*args)
+        try:
+            ca = lowered.cost_analysis()
+        except Exception:
+            ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         return float(ca.get("flops", 0.0)) or None
@@ -660,9 +666,10 @@ def main():
         "measured_ms": measured_ms,
         "residual_round_trips_per_frame": round(residual / (rtt * 1e3), 2),
         "note": "the measured loop includes per-round-trip tunnel latency "
-                "(~2-3 RTTs per dispatch chain x 2 chains/frame) that the "
-                "RTT-free stage model subtracts; on co-located hardware "
-                "the stage model is the per-chip number",
+                "(ONE combined dispatch chain per tracked frame: image "
+                "upload + execute + one packed fetch ~= 2-2.5 RTTs) that "
+                "the RTT-free stage model subtracts; on co-located "
+                "hardware the stage model is the per-chip number",
     }
 
     print(json.dumps({

@@ -286,7 +286,9 @@ def _total_cost(K, Tcw, points, lines, prob, p_active, l_active, deltas,
         return r[0], z[0]
 
     rp, z = jax.vmap(one_p)(Tcw_c, Xw, prob.p_meas, prob.p_stereo)
-    chi2_p = jnp.sum(rp * rp, -1)
+    # finite ceiling: an f32-overflowed chi² (inf) would propagate NaN
+    # through masked sums (inf·0 = NaN) and poison the LM accept test
+    chi2_p = jnp.minimum(jnp.sum(rp * rp, -1), 1e12)
     Tcw_l = Tcw[prob.l_pose]
     Lw = lines[prob.l_line]
 
@@ -294,14 +296,26 @@ def _total_cost(K, Tcw, points, lines, prob, p_active, l_active, deltas,
         return res.line_residual(K, T, L[None], eps[None], eps_r[None], st[None])[0]
 
     rl = jax.vmap(one_l)(Tcw_l, Lw, prob.l_eps, prob.l_eps_r, prob.l_stereo)
-    chi2_l = _LINE_INFO * jnp.sum(rl * rl, -1)
+    chi2_l = jnp.minimum(_LINE_INFO * jnp.sum(rl * rl, -1), 1e12)
     delta_p = jnp.where(prob.p_stereo, d_sp, d_p)
     delta_l = jnp.where(prob.l_stereo, d_sl, d_l)
     dtype = Tcw.dtype
     ok_p = p_active & (z > 1e-6)
     cp = jnp.where(use_huber, _huber_rho(chi2_p, delta_p), chi2_p)
     cl = jnp.where(use_huber, _huber_rho(chi2_l, delta_l), chi2_l)
-    cost = jnp.sum(cp * ok_p.astype(dtype)) + jnp.sum(cl * l_active.astype(dtype))
+    # cheirality violations (active constraint, non-positive depth) cost
+    # their chi² gate value rather than dropping out: a candidate that
+    # throws ALL its points behind the camera would otherwise mask to
+    # cost 0 and be "accepted" — the masked-LM degenerate attractor.
+    # Pricing a behind-camera point like an outlier AT the gate keeps the
+    # collapse attractor expensive (N·thr ≫ any converged cost) without
+    # distorting legitimate outlier shedding (same cost either side of
+    # the camera plane). where() (not multiply) also keeps inf·0 from
+    # minting NaN.
+    bad_p = (p_active & ~ok_p).astype(dtype)
+    cost = (jnp.sum(jnp.where(ok_p, cp, 0.0))
+            + jnp.sum(jnp.where(l_active, cl, 0.0))
+            + jnp.sum(bad_p * delta_p * delta_p))
     return _reduce(cost, axis_name), chi2_p, chi2_l, z
 
 
@@ -321,6 +335,17 @@ def _lm_phase(K, state, prob, p_active, l_active, deltas, use_huber, iters,
             K, Tcw, points, lines, prob, p_active, l_active, use_huber, deltas,
             lam, axis_name,
         )
+        # f32 trust region: a near-singular Schur solve can emit a huge
+        # (or non-finite) step whose candidate state still masks to a
+        # finite cost — e.g. a landmark flung to 1e30 m keeps x/z ~ O(1)
+        # so its reprojection looks plausible while its next-iteration
+        # Hessian terms overflow. Clamp steps to generous physical bounds
+        # (healthy steps are orders of magnitude smaller) and never accept
+        # a non-finite candidate. g2o runs in f64 where this margin is
+        # astronomically unlikely to bind; in f32 it is load-bearing.
+        dp = jnp.clip(dp, -10.0, 10.0)
+        dx = jnp.clip(dx, -50.0, 50.0)
+        dl = jnp.clip(dl, -10.0, 10.0)
         Tcw_new = jax.vmap(lambda d, T: se3.exp_se3(d) @ T)(dp, Tcw)
         points_new = points + dx
         lines_new = jax.vmap(plucker.orthonormal_update)(lines, dl)
@@ -328,7 +353,12 @@ def _lm_phase(K, state, prob, p_active, l_active, deltas, use_huber, iters,
             K, Tcw_new, points_new, lines_new, prob, p_active, l_active,
             deltas, use_huber, axis_name,
         )
-        accept = cost_new < cost_old
+        finite = (
+            jnp.isfinite(cost_new)
+            & jnp.all(jnp.isfinite(dp)) & jnp.all(jnp.isfinite(dx))
+            & jnp.all(jnp.isfinite(dl))
+        )
+        accept = (cost_new < cost_old) & finite
         Tcw = jnp.where(accept, Tcw_new, Tcw)
         points = jnp.where(accept, points_new, points)
         lines = jnp.where(accept, lines_new, lines)

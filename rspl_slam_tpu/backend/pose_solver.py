@@ -79,13 +79,24 @@ def _lm_rounds(
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6, dtype=dtype)
         step = -glin.solve_spd(Hd, g)  # damped SPD: Cholesky, no pivot chain
         Tcw_new = se3.exp_se3(step) @ Tcw
-        # accept if total weighted chi2 decreased
-        cost_old = jnp.sum(jnp.where(w > 0, chi2, 0.0) * jnp.minimum(w, 1.0))
+        # accept if total weighted chi2 decreased. Active constraints with
+        # non-positive (or non-finite) candidate depth are priced at
+        # their chi² gate instead of dropping out — otherwise a divergent
+        # step that throws the points behind the camera masks to cost 0
+        # and gets "accepted" (the masked-LM degenerate attractor; the
+        # same guard lives in local_ba._total_cost).
+        pen = delta * delta
+        cost_old = (
+            jnp.sum(jnp.where(w > 0, chi2, 0.0) * jnp.minimum(w, 1.0))
+            + jnp.sum((active & ~(z > 1e-6)).astype(dtype) * pen)
+        )
         chi2_new, r_new, zn = constraint_chi2(Tcw_new)
         w_new = jnp.where(use_huber, res.huber_weight(chi2_new, delta), 1.0)
         w_new = jnp.where(active & (zn > 1e-6), w_new, 0.0)
-        cost_new = jnp.sum(
-            jnp.where(w_new > 0, chi2_new, 0.0) * jnp.minimum(w_new, 1.0)
+        cost_new = (
+            jnp.sum(jnp.where(w_new > 0, chi2_new, 0.0)
+                    * jnp.minimum(w_new, 1.0))
+            + jnp.sum((active & ~(zn > 1e-6)).astype(dtype) * pen)
         )
         accept = cost_new < cost_old
         Tcw = jnp.where(accept, Tcw_new, Tcw)

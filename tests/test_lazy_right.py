@@ -105,3 +105,68 @@ class TestLazySLAM:
         gt = np.einsum("ij,njk->nik", INIT_POSE, traj)
         res = absolute_trajectory_error(ts, est[:, :3, 3], ts, gt[:, :3, 3])
         assert res["rmse"] < 0.3, res
+
+
+class TestDeferredMaterialization:
+    """Transfer contract of the split lazy path: tracked frames must NEVER
+    download their feature buffer — only frames consumed by keyframe
+    insertion (or fallback promotion) materialize. On a tunneled device
+    every materialization is a blocking round trip, so this is the
+    difference between ~2 and ~5 round trips per frame."""
+
+    def test_only_keyframes_materialize(self):
+        import dataclasses as dc
+
+        import numpy as np
+
+        from rspl_slam_tpu.config import (LineDetectorConfig,
+                                          PipelineConfig, SuperPointConfig,
+                                          SystemConfig)
+        from rspl_slam_tpu.evaluation import synthetic
+        from rspl_slam_tpu.frontend.frontends import NeuralFrontend
+        from rspl_slam_tpu.slam import SLAMSystem
+
+        from rspl_slam_tpu.config import CameraConfig
+
+        cam = CameraConfig(image_width=320, image_height=240, fx=240.0,
+                           fy=240.0, cx=160.0, cy=120.0, bf=24.0,
+                           depth_upper_thr=20.0)
+        cfg = SystemConfig(
+            superpoint=SuperPointConfig(max_keypoints=400,
+                                        keypoint_threshold=1e-4),
+            camera=cam,
+            line_detector=LineDetectorConfig(max_lines=32),
+            # split path: combined step off so extraction stays deferred
+            pipeline=PipelineConfig(lazy_right_extraction=True,
+                                    combined_frame_step=False),
+            use_lines=True,
+        )
+        cfg = dc.replace(cfg, superglue=dc.replace(
+            cfg.superglue, image_width=320, image_height=240))
+        scene = synthetic.make_scene(num_points=500, num_lines=6, seed=1,
+                                     extent=(6.0, 4.0, 6.0),
+                                     on_line_frac=0.0)
+        traj = synthetic.make_trajectory(10, step=0.06)
+        fe = NeuralFrontend(cfg, matcher="cosine")
+        slam = SLAMSystem(cfg, fe)
+        frames = {}
+        for i in range(10):
+            il, ir = synthetic.render_images(scene, cam, traj[i], seed=i)
+            ff = fe.extract_pair(il, ir)
+            rec = slam.add_frame_features(i, i * 0.05, ff)
+            frames[i] = (rec, ff)
+        assert slam.initialized
+        kf_or_promoted = {i for i, (r, _) in frames.items()
+                          if r.is_keyframe}
+        # every keyframe's features were consumed → materialized
+        for i in kf_or_promoted:
+            assert frames[i][1].is_materialized, i
+        # plain tracked frames (excluding the last frame, which stays
+        # cached as the fallback anchor and MAY be consumed later) never
+        # downloaded their buffer
+        plain = [i for i in frames if i not in kf_or_promoted and i != 9
+                 and i != 0]
+        assert plain, "expected some plain tracked frames"
+        n_lazy = sum(not frames[i][1].is_materialized for i in plain)
+        assert n_lazy == len(plain), (
+            [(i, frames[i][1].is_materialized) for i in plain])

@@ -1,5 +1,7 @@
 """Local BA tests: synthetic multi-view windows with known ground truth."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -172,3 +174,52 @@ class TestLocalBA:
             np.asarray(out.Tcw)[:, :3, 3] - Tcw_gt[:, :3, 3], axis=1
         )
         assert pose_err.max() < 1e-3
+
+
+class TestF32DivergenceGuards:
+    """Regression: a real BA window captured from the measured production
+    loop (three keyframes, a landmark ~6 cm in front of a camera) drove
+    the f32 solver into NaN — a divergent step flung landmarks to huge
+    positions whose masked cost still looked acceptable, and the next
+    normal-equation build overflowed (r04). The solver now clamps steps,
+    refuses non-finite candidates, ceilings chi², and prices cheirality
+    violations at the chi² gate. tests/fixtures/ba_divergence_case.npz is
+    the exact failing problem."""
+
+    FIX = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "ba_divergence_case.npz")
+
+    def test_captured_window_stays_finite_and_converges(self):
+        d = dict(np.load(self.FIX))
+        prob = local_ba.BAProblem(**d)
+        out = local_ba.fetch_result(local_ba.optimize_local_map(K, prob))
+        assert np.isfinite(out.Tcw).all()
+        assert np.isfinite(out.points).all()
+        assert np.isfinite(float(out.cost))
+        # converges with a healthy inlier set (703 valid constraints)
+        assert float(out.cost) < 2000.0, float(out.cost)
+        assert int(out.p_inlier.sum()) > 600
+
+    def test_degenerate_collapse_not_accepted(self):
+        """A candidate that throws every point behind the camera must not
+        be scored better than a sane state: the cheirality pricing keeps
+        the masked-cost collapse attractor expensive."""
+        import jax.numpy as jnp
+
+        # near-converged state: the collapse must be expensive relative to
+        # any reasonable fit (N·chi2_gate ≫ noise-level cost)
+        prob, Tcw_gt, pts_gt, lines_gt, bad = build_problem(
+            seed=2, noise_px=0.3, perturb=False
+        )
+        deltas = (jnp.sqrt(50.0), jnp.sqrt(75.0), jnp.sqrt(50.0),
+                  jnp.sqrt(75.0))
+        p = local_ba.BAProblem(
+            **{f: jnp.asarray(getattr(prob, f)) for f in prob._fields})
+        sane, *_ = local_ba._total_cost(
+            K, p.Tcw, p.points, p.lines, p, p.p_valid, p.l_valid, deltas,
+            True)
+        # flip the whole map behind the cameras
+        collapsed, *_ = local_ba._total_cost(
+            K, p.Tcw, p.points - jnp.asarray([0.0, 0.0, 100.0]), p.lines,
+            p, p.p_valid, p.l_valid, deltas, True)
+        assert float(collapsed) > float(sane), (collapsed, sane)

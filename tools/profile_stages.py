@@ -158,6 +158,25 @@ def main():
     print(f"{'hough alone':>20}: "
           f"{results['rcf+hough'] - results['rcf_pair']:7.3f} ms")
 
+    # ---- MFU / speed-of-light accounting (XLA cost analysis vs nominal
+    # bf16 peak; same machinery as bench.py's `mfu` block) ----------------
+    import bench as _bench
+
+    dev = jax.devices()[0]
+    peak = _bench._peak_flops(dev)
+    print(f"\nMFU on {getattr(dev, 'device_kind', dev)} "
+          f"(peak {'?' if peak is None else peak / 1e12} bf16 Tflop/s):")
+    for name, stage in [("rcf_pair", stage_rcf), ("superpoint", stage_sp),
+                        ("sp+superglue", stage_sp_sg),
+                        ("pose_lm", stage_pose)]:
+        fl = _bench._graph_flops(jax.jit(stage), images)
+        dt = results[name] * 1e-3
+        if fl is None or peak is None or dt <= 0:
+            print(f"{name:>20}: flops unavailable")
+            continue
+        print(f"{name:>20}: {fl / 1e9:8.2f} Gflop  "
+              f"{fl / dt / peak * 100.0:6.2f}% of peak")
+
 
 if __name__ == "__main__":
     main()
