@@ -219,6 +219,14 @@ class PipelineConfig:
     # (lazy-right NeuralFrontend): strictly fewer host↔device round trips
     # per frame. Off → two fused chains (extract ∥ track threads).
     combined_frame_step: bool = True
+    # Asynchronous local BA: dispatch the window solve at keyframe
+    # insertion WITHOUT blocking on the result; fetch + scatter it at the
+    # next keyframe (or at any global operation / save). Tracking between
+    # keyframes runs against the pre-BA map — a one-keyframe staleness the
+    # pose-only LM absorbs. The reference blocks its tracking thread on
+    # every local BA (map_builder.cc:187-262); async overlaps the whole
+    # solve with tracking. Off by default (reference-faithful schedule).
+    async_ba: bool = False
 
 
 @dataclass(frozen=True)

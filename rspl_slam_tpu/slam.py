@@ -138,6 +138,7 @@ class SLAMSystem:
         self._fused_enabled = fused_tracking
         self._fused = None
         self._combined = None  # lazily-built frame_step.CombinedTracker
+        self._pending_ba = None  # in-flight async local BA (async_ba)
         self.enable_lines = cfg.use_lines if enable_lines is None else enable_lines
         cam = cfg.camera
         self.K = CameraIntrinsics(cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
@@ -250,6 +251,7 @@ class SLAMSystem:
         return rec
 
     def save_trajectory(self, path: str, keyframes_only: bool = True):
+        self.flush_ba()
         if keyframes_only:
             times, poses = self.map.keyframe_trajectory()
         else:
@@ -258,6 +260,7 @@ class SLAMSystem:
         write_tum_trajectory(path, times, poses)
 
     def save_map(self, path: str):
+        self.flush_ba()
         self.map.save(path)
 
     def resume_from_map(self, path: str):
@@ -271,6 +274,7 @@ class SLAMSystem:
         shifted past the stored ones automatically (the keyframe cadence
         counts frames since the reference keyframe, and duplicate frame ids
         would collide in the text map dump), so drivers may restart at 0."""
+        self._pending_ba = None  # any in-flight solve targets the old map
         self.map = map_store.MapStore.load(path, self.cfg.pipeline)
         if self.map.K != self.cfg.superpoint.max_keypoints:
             raise ValueError(
@@ -660,7 +664,13 @@ class SLAMSystem:
 
         if self.enable_ba and self.map.n_kf >= 2:
             t0 = time.perf_counter()
-            self._run_local_ba(kf)
+            # settle the previous keyframe's in-flight solve first: its
+            # window must scatter before this keyframe's window gathers
+            self.flush_ba()
+            if self.cfg.pipeline.async_ba:
+                self._dispatch_local_ba(kf)
+            else:
+                self._run_local_ba(kf)
             self._t("local_ba", t0)
 
         if self._loop_closure_on:
@@ -872,6 +882,7 @@ class SLAMSystem:
         device call (parallel/multi_sequence.py)."""
         p = self.cfg.pipeline
         o = self.cfg.optimization
+        self.flush_ba()  # settle any in-flight window before gathering
         problem_np, mapping = self.map.gather_ba_window(
             center_kf,
             max_frames=o.max_window_keyframes,
@@ -895,10 +906,13 @@ class SLAMSystem:
         # keep the tracking anchor pose in sync with the optimized map
         self._last_Twc = self.map.kf_pose[center_kf].copy()
 
-    def _run_local_ba(self, center_kf: int):
+    def _solve_local_ba(self, center_kf: int):
+        """Dispatch the window solve; returns (device_result, mapping) or
+        (None, None). Does NOT fetch — JAX dispatch is async, so the
+        caller chooses when to synchronize."""
         prob, mapping = self.gather_ba_problem(center_kf)
         if prob is None:
-            return
+            return None, None
         o = self.cfg.optimization
         bcfg = o.backend
         result = local_ba.optimize_local_map(
@@ -907,7 +921,37 @@ class SLAMSystem:
             chi2_mono_line=bcfg.mono_line, chi2_stereo_line=bcfg.stereo_line,
             iters1=o.ba_iters_phase1, iters2=o.ba_iters_phase2,
         )
+        return result, mapping
+
+    def _run_local_ba(self, center_kf: int):
+        result, mapping = self._solve_local_ba(center_kf)
+        if result is None:
+            return
         self.apply_ba_result(result, mapping, center_kf)
+
+    def _dispatch_local_ba(self, center_kf: int):
+        """Async mode: leave the solve in flight; it overlaps the next
+        frames' tracking and settles via :meth:`flush_ba`."""
+        result, mapping = self._solve_local_ba(center_kf)
+        if result is not None:
+            self._pending_ba = (result, mapping, center_kf)
+
+    def flush_ba(self):
+        """Fetch + scatter an in-flight async BA result, if any. Called
+        before the next window gather, any global backend pass, culling,
+        and map/trajectory saves; harmless no-op otherwise."""
+        if self._pending_ba is None:
+            return
+        result, mapping, center_kf = self._pending_ba
+        self._pending_ba = None
+        t0 = time.perf_counter()
+        result = local_ba.fetch_result(result)
+        self.map.scatter_ba_result(result, mapping)
+        self._refresh_line_endpoints(mapping["lns"])
+        # deliberately NOT re-anchoring _last_Twc here: tracking has moved
+        # past the solved window's center; teleporting the anchor back
+        # would corrupt the current frame's prior
+        self._t("ba_apply", t0)
 
     def _refresh_line_endpoints(self, lns: np.ndarray):
         """After BA, refresh cartesian endpoints of optimized maplines from
@@ -956,6 +1000,7 @@ class SLAMSystem:
         unboundedly). Never culls the gauge/fixed frames, the current
         tracking anchor, or the ``keep_recent`` newest keyframes. Returns
         the number culled."""
+        self.flush_ba()
         m = self.map
         if m.n_kf < keep_recent + 2:
             return 0
@@ -991,6 +1036,7 @@ class SLAMSystem:
         replacement — so on loops longer than 16 keyframes the joint
         refinement optimizes against a truncated observation set (see
         PARITY.md "Known gaps")."""
+        self.flush_ba()
         m = self.map
         if m.n_kf < min_keyframes:
             return None
@@ -1052,6 +1098,7 @@ class SLAMSystem:
         perturbing a converged map with solver noise."""
         from rspl_slam_tpu.backend import pose_graph as pg
 
+        self.flush_ba()
         m = self.map
         if m.n_kf < 3:
             return None

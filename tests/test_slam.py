@@ -203,3 +203,51 @@ class TestKeyframeCulling:
         assert m.kf_valid[0]  # gauge frame (fixed)
         assert m.kf_valid[slam._ref_kf]
         assert m.kf_valid[m.n_kf - 3: m.n_kf].all()
+
+
+class TestAsyncBA:
+    """PipelineConfig.async_ba: the local BA solve overlaps subsequent
+    frames' tracking; its result scatters at the next keyframe (or at any
+    save/global op via flush_ba). One-keyframe staleness must not cost
+    accuracy on a well-conditioned sequence."""
+
+    def _run(self, async_ba: bool):
+        cfg = SystemConfig(
+            superpoint=SuperPointConfig(max_keypoints=256),
+            pipeline=PipelineConfig(ba_max_points=512, ba_max_lines=16,
+                                    async_ba=async_ba),
+        )
+        scene = synthetic.make_scene(num_points=800, seed=0,
+                                     extent=(10.0, 6.0, 16.0))
+        traj = synthetic.make_trajectory(40, step=0.05, yaw_rate=0.003)
+        fe = OracleFrontend(cfg, scene, noise_px=0.3, outlier_frac=0.05,
+                            seed=0)
+        fe.poses = traj
+        slam = SLAMSystem(cfg, fe)
+        for i in range(40):
+            slam.add_frame(i, i * 0.05, None, None)
+        return slam, traj
+
+    def test_ate_matches_sync(self):
+        slam_a, traj = self._run(True)
+        slam_s, _ = self._run(False)
+        # async path actually deferred at least one solve
+        assert "ba_apply" in slam_a.timings, slam_a.timings.keys()
+        assert "ba_apply" not in slam_s.timings
+        for slam in (slam_a, slam_s):
+            est = np.stack([r.Twc for r in slam.records])
+            ts = np.asarray([r.time for r in slam.records])
+            gt = np.einsum("ij,njk->nik", INIT_POSE, traj)
+            res = absolute_trajectory_error(ts, est[:, :3, 3], ts,
+                                            gt[:, :3, 3])
+            assert res["rmse"] < 0.012, (slam.cfg.pipeline.async_ba, res)
+
+    def test_flush_on_save(self, tmp_path):
+        slam, _ = self._run(True)
+        # force an in-flight solve, then save: flush must settle it
+        assert slam.map.n_kf >= 2
+        slam._dispatch_local_ba(slam.map.n_kf - 1)
+        assert slam._pending_ba is not None
+        slam.save_trajectory(str(tmp_path / "t.txt"))
+        assert slam._pending_ba is None
+        assert np.isfinite(slam.map.kf_pose[: slam.map.n_kf]).all()
