@@ -62,9 +62,9 @@ def _build_slam(args, use_lines=None, rectify=True):
     if getattr(args, "track_local_map", False):
         cfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
             cfg.pipeline, track_local_map=True))
-    if getattr(args, "async_ba", False):
+    if getattr(args, "sync_ba", False):
         cfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
-            cfg.pipeline, async_ba=True))
+            cfg.pipeline, async_ba=False))
     fe = NeuralFrontend(cfg, matcher=getattr(args, "matcher", "superglue"),
                         rectify=rectify,
                         lazy_right=getattr(args, "lazy_right", None))
@@ -545,9 +545,10 @@ def main(argv=None):
                     help="disable the native C++ prefetcher")
     pr.add_argument("--overlay-stride", dest="overlay_stride", type=int,
                     default=1, help="dump a feature overlay every Nth frame")
-    pr.add_argument("--async-ba", dest="async_ba", action="store_true",
-                    help="overlap the local BA solve with tracking of the "
-                         "following frames (fetched at the next keyframe)")
+    pr.add_argument("--sync-ba", dest="sync_ba", action="store_true",
+                    help="block tracking on every local BA like the "
+                         "reference (default overlaps the solve with the "
+                         "following frames, fetched at the next keyframe)")
     pr.add_argument("--track-local-map", dest="track_local_map",
                     action="store_true",
                     help="recover missed landmark associations by "

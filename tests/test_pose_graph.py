@@ -155,6 +155,10 @@ class TestMapIntegration:
         """On a drift-free map the PGO is a fixed point: trajectory moves
         negligibly and the line landmarks keep valid Plücker geometry."""
         slam = self._build_slam()
+        # settle any in-flight async BA first: this test compares the PGO
+        # fixed point, not the pending window scatter run_pose_graph
+        # flushes on entry
+        slam.flush_ba()
         poses_before = slam.map.kf_pose[: slam.map.n_kf].copy()
         cost = slam.run_pose_graph(min_weight=10, iters=10,
                                    require_loops=False)
