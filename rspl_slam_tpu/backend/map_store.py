@@ -186,10 +186,10 @@ class MapStore:
             self.pt_obs_kpt[pt, n] = kpt
             self.pt_obs_n[pt] = n + 1
         else:  # ring-replace the oldest observation
-            kf_old = self.pt_obs_kf[pt, 0]
-            kp_old = self.pt_obs_kpt[pt, 0]
-            if kf_old >= 0 and self.kf_track[kf_old, kp_old] == pt:
-                self.kf_track[kf_old, kp_old] = -1  # no stale back-pointer
+            # the evicted observation stays REAL: its kf_track back-pointer
+            # is kept, so the full-table gather (gather_ba_window with
+            # full_obs=True — the global-BA path) still sees it. Only true
+            # removals (outlier rejection, culling) clear back-pointers.
             self.pt_obs_kf[pt, :-1] = self.pt_obs_kf[pt, 1:]
             self.pt_obs_kpt[pt, :-1] = self.pt_obs_kpt[pt, 1:]
             self.pt_obs_kf[pt, -1] = kf
@@ -326,7 +326,8 @@ class MapStore:
     def gather_ba_window(self, center_kf: int, max_frames: int,
                          max_points: int, max_lines_w: int,
                          cp_capacity: int, cl_capacity: int,
-                         frames: np.ndarray | None = None):
+                         frames: np.ndarray | None = None,
+                         full_obs: bool = False):
         """Assemble a fixed-shape BAProblem around ``center_kf``.
 
         Window = top covisible KFs; plus ONE extra frame held fixed (the
@@ -338,6 +339,13 @@ class MapStore:
         ``frames`` overrides the covisibility window with an explicit
         keyframe-slot list (≤ max_frames) — the global-BA path passes every
         keyframe here.
+
+        ``full_obs`` gathers constraints from the COMPLETE back-pointer
+        tables (kf_track / kf_line_track) instead of the per-landmark
+        observation rings: the rings hold each landmark's newest MAX_OBS
+        (16) observers, so on loops longer than 16 keyframes a ring gather
+        would optimize against a truncated observation set. The global-BA
+        path sets this so "all keyframes jointly" is literally true.
 
         Returns (problem_dict, mapping) where mapping carries the global
         indices needed to scatter results back. problem_dict contains numpy
@@ -363,53 +371,108 @@ class MapStore:
         fixed[slot_arr[oldest]] = True
         fixed[: len(frames)] |= self.kf_fixed[frames]
 
-        # candidate points: union of tracks in window frames (ascending)
-        cand = np.unique(self.kf_track[frames][self.kf_track[frames] >= 0])
-        cand = cand[self.pt_status[cand] == PT_GOOD]
+        if full_obs:
+            # complete observation table: every kf_track back-pointer in
+            # the window rows — per-landmark count is UNBOUNDED (not capped
+            # at the MAX_OBS ring), so long-loop global BA sees evicted
+            # observations too
+            tr = self.kf_track[frames]  # (f, K)
+            fi, ki = np.nonzero(tr >= 0)
+            p_all = tr[fi, ki]
+            goodm = self.pt_status[p_all] == PT_GOOD
+            fi, ki, p_all = fi[goodm], ki[goodm], p_all[goodm]
+            meas_flat = self.kf_meas[frames[fi], ki]
+            stereo_flat = meas_flat[:, 2] > 0
+            cand, inv = np.unique(p_all, return_inverse=True)
+            n_rows = np.bincount(inv, minlength=len(cand))
+            n_st = np.bincount(inv[stereo_flat], minlength=len(cand))
+            # landmark admission: ≥1 stereo or ≥2 mono obs (map.cc:652)
+            admitted = np.nonzero((n_st > 0) | (n_rows >= 2))[0][:max_points]
+            remap = np.full(len(cand), -1, np.int64)
+            remap[admitted] = np.arange(len(admitted))
+            selm = remap[inv] >= 0
+            pts_sel = cand[admitted]
+            p_point = remap[inv[selm]]
+            p_pose = fi[selm].astype(np.int64)
+            p_meas = meas_flat[selm].astype(np.float64)
+            p_stereo = stereo_flat[selm]
+        else:
+            # candidate points: union of tracks in window frames (ascending)
+            cand = np.unique(
+                self.kf_track[frames][self.kf_track[frames] >= 0])
+            cand = cand[self.pt_status[cand] == PT_GOOD]
 
-        # all observations of all candidates, gathered in one shot
-        obs_kf = self.pt_obs_kf[cand]  # (n, MAX_OBS)
-        obs_kp = self.pt_obs_kpt[cand]
-        slots = np.where(obs_kf >= 0, slot_arr[np.maximum(obs_kf, 0)], -1)
-        in_win = slots >= 0
-        meas = self.kf_meas[np.maximum(obs_kf, 0), np.maximum(obs_kp, 0)]
-        stereo = in_win & (meas[..., 2] > 0)
-        n_rows = in_win.sum(1)
-        n_st = stereo.sum(1)
-        # landmark admission: ≥1 stereo or ≥2 mono observations (map.cc:652)
-        keep = np.nonzero((n_rows > 0) & ((n_st > 0) | (n_rows >= 2)))[0]
-        keep = keep[:max_points]
-        pts_sel = cand[keep]
-        ci, oi = np.nonzero(in_win[keep])  # row-major: grouped by point
-        p_point = ci.astype(np.int64)
-        p_pose = slots[keep][ci, oi].astype(np.int64)
-        p_meas = meas[keep][ci, oi].astype(np.float64)
-        p_stereo = stereo[keep][ci, oi]
+            # all observations of all candidates, gathered in one shot
+            obs_kf = self.pt_obs_kf[cand]  # (n, MAX_OBS)
+            obs_kp = self.pt_obs_kpt[cand]
+            slots = np.where(
+                obs_kf >= 0, slot_arr[np.maximum(obs_kf, 0)], -1)
+            in_win = slots >= 0
+            meas = self.kf_meas[np.maximum(obs_kf, 0), np.maximum(obs_kp, 0)]
+            stereo = in_win & (meas[..., 2] > 0)
+            n_rows = in_win.sum(1)
+            n_st = stereo.sum(1)
+            # landmark admission: ≥1 stereo or ≥2 mono obs (map.cc:652)
+            keep = np.nonzero((n_rows > 0) & ((n_st > 0) | (n_rows >= 2)))[0]
+            keep = keep[:max_points]
+            pts_sel = cand[keep]
+            ci, oi = np.nonzero(in_win[keep])  # row-major: grouped by point
+            p_point = ci.astype(np.int64)
+            p_pose = slots[keep][ci, oi].astype(np.int64)
+            p_meas = meas[keep][ci, oi].astype(np.float64)
+            p_stereo = stereo[keep][ci, oi]
 
-        # candidate lines (same structure; Lw is small)
-        ltracks = self.kf_line_track[frames]
-        lcand = np.unique(ltracks[ltracks >= 0])
-        lcand = lcand[self.ln_valid[lcand] & self.ln_has_endpoints[lcand]]
-        lobs_kf = self.ln_obs_kf[lcand]
-        lobs_ix = self.ln_obs_idx[lcand]
-        lslots = np.where(lobs_kf >= 0, slot_arr[np.maximum(lobs_kf, 0)], -1)
-        l_in = lslots >= 0
-        lkf = np.maximum(lobs_kf, 0)
-        lix = np.maximum(lobs_ix, 0)
-        lseg = self.kf_lines[lkf, lix]  # (m, MAX_OBS, 4)
-        lsegr = self.kf_lines_right[lkf, lix]
-        lst = l_in & self.kf_line_has_right[lkf, lix]
-        ln_rows = l_in.sum(1)
-        ln_st = lst.sum(1)
-        lkeep = np.nonzero((ln_rows > 0) & ((ln_st > 0) | (ln_rows >= 2)))[0]
-        lkeep = lkeep[:max_lines_w]
-        lns_sel = lcand[lkeep]
-        lci, loi = np.nonzero(l_in[lkeep])
-        l_line = lci.astype(np.int64)
-        l_pose = lslots[lkeep][lci, loi].astype(np.int64)
-        l_eps = lseg[lkeep][lci, loi].reshape(-1, 2, 2).astype(np.float64)
-        l_eps_r = lsegr[lkeep][lci, loi].reshape(-1, 2, 2).astype(np.float64)
-        l_stereo = lst[lkeep][lci, loi]
+        if full_obs:
+            # complete line observation table (kf_line_track back-pointers)
+            ltr = self.kf_line_track[frames]  # (f, LN)
+            lfi, lli = np.nonzero(ltr >= 0)
+            ln_all = ltr[lfi, lli]
+            lgood = self.ln_valid[ln_all] & self.ln_has_endpoints[ln_all]
+            lfi, lli, ln_all = lfi[lgood], lli[lgood], ln_all[lgood]
+            lseg_flat = self.kf_lines[frames[lfi], lli]
+            lsegr_flat = self.kf_lines_right[frames[lfi], lli]
+            lst_flat = self.kf_line_has_right[frames[lfi], lli]
+            lcand, linv = np.unique(ln_all, return_inverse=True)
+            lrows = np.bincount(linv, minlength=len(lcand))
+            lsts = np.bincount(linv[lst_flat], minlength=len(lcand))
+            ladm = np.nonzero((lsts > 0) | (lrows >= 2))[0][:max_lines_w]
+            lremap = np.full(len(lcand), -1, np.int64)
+            lremap[ladm] = np.arange(len(ladm))
+            lselm = lremap[linv] >= 0
+            lns_sel = lcand[ladm]
+            l_line = lremap[linv[lselm]]
+            l_pose = lfi[lselm].astype(np.int64)
+            l_eps = lseg_flat[lselm].reshape(-1, 2, 2).astype(np.float64)
+            l_eps_r = lsegr_flat[lselm].reshape(-1, 2, 2).astype(np.float64)
+            l_stereo = lst_flat[lselm]
+        else:
+            # candidate lines (same structure; Lw is small)
+            ltracks = self.kf_line_track[frames]
+            lcand = np.unique(ltracks[ltracks >= 0])
+            lcand = lcand[self.ln_valid[lcand] & self.ln_has_endpoints[lcand]]
+            lobs_kf = self.ln_obs_kf[lcand]
+            lobs_ix = self.ln_obs_idx[lcand]
+            lslots = np.where(
+                lobs_kf >= 0, slot_arr[np.maximum(lobs_kf, 0)], -1)
+            l_in = lslots >= 0
+            lkf = np.maximum(lobs_kf, 0)
+            lix = np.maximum(lobs_ix, 0)
+            lseg = self.kf_lines[lkf, lix]  # (m, MAX_OBS, 4)
+            lsegr = self.kf_lines_right[lkf, lix]
+            lst = l_in & self.kf_line_has_right[lkf, lix]
+            ln_rows = l_in.sum(1)
+            ln_st = lst.sum(1)
+            lkeep = np.nonzero(
+                (ln_rows > 0) & ((ln_st > 0) | (ln_rows >= 2)))[0]
+            lkeep = lkeep[:max_lines_w]
+            lns_sel = lcand[lkeep]
+            lci, loi = np.nonzero(l_in[lkeep])
+            l_line = lci.astype(np.int64)
+            l_pose = lslots[lkeep][lci, loi].astype(np.int64)
+            l_eps = lseg[lkeep][lci, loi].reshape(-1, 2, 2).astype(np.float64)
+            l_eps_r = lsegr[lkeep][lci, loi].reshape(
+                -1, 2, 2).astype(np.float64)
+            l_stereo = lst[lkeep][lci, loi]
 
         def pad_arr(arr, cap, shape, dtype=np.float64):
             out = np.zeros((cap, *shape), dtype)

@@ -78,7 +78,7 @@ class CombinedTracker:
         self.fe = frontend
         self.Kc = Kc
         self.chi2 = (float(chi2_mono), float(chi2_stereo))
-        self._ref_token = None
+        self._ref_obj = None  # strong ref: identity stays valid while held
         self._ref_dev = None
         self._seed = 0
 
@@ -100,8 +100,10 @@ class CombinedTracker:
         return True
 
     def _ref_arrays(self, ref_feats):
-        token = id(ref_feats)
-        if self._ref_token != token:
+        # strong-ref identity cache — see FusedTracker._ref_arrays: a stored
+        # id() of a garbage-collected FrameFeatures can collide with a
+        # recycled address; holding the object makes ``is`` sound
+        if self._ref_obj is not ref_feats:
             if getattr(ref_feats, "dev", None) is not None:
                 self._ref_dev = ref_feats.dev
             else:
@@ -109,7 +111,7 @@ class CombinedTracker:
                     ref_feats.xy, ref_feats.score, ref_feats.desc,
                     ref_feats.valid,
                 ))
-            self._ref_token = token
+            self._ref_obj = ref_feats
         return self._ref_dev
 
     def step(self, img_l: np.ndarray, img_r: np.ndarray, ref_feats,

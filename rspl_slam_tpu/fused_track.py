@@ -129,15 +129,18 @@ class FusedTracker:
         # the fused keyframe completion share one compiled matcher family
         self._match_fn = frontend._graph_match_fn
         self._params = frontend._graph_match_params
-        self._ref_token = None
+        self._ref_obj = None  # strong ref: identity stays valid while held
         self._ref_dev = None
         self._seed = 0
 
     def _ref_arrays(self, ref_feats):
         """Device copies of the reference keyframe features, cached by
-        object identity (one upload per keyframe change)."""
-        token = id(ref_feats)
-        if self._ref_token != token:
+        object identity (one upload per keyframe change). The cache holds a
+        STRONG reference to the keyed object — comparing ``is`` against a
+        live object is sound, whereas a stored ``id()`` of a dead one can
+        collide with a recycled address and silently track against the
+        wrong keyframe's features."""
+        if self._ref_obj is not ref_feats:
             if getattr(ref_feats, "dev", None) is not None:
                 self._ref_dev = ref_feats.dev  # already device-resident
             else:
@@ -145,7 +148,7 @@ class FusedTracker:
                     ref_feats.xy, ref_feats.score, ref_feats.desc,
                     ref_feats.valid,
                 ))
-            self._ref_token = token
+            self._ref_obj = ref_feats
         return self._ref_dev
 
     def track(self, feats, ref_feats, ref_pos: np.ndarray,

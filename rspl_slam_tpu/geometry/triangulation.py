@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rspl_slam_tpu.geometry import plucker
 
@@ -18,6 +19,12 @@ __all__ = [
     "fit_line3d_to_points",
     "triangulate_line_endpoints",
 ]
+
+# minimum accepted parallax between some pair of observing rays: 0.5°.
+# More permissive than the old 1e-4 eigenvalue-ratio gate (≈0.8° for two
+# rays) — forward-dominant motion keeps more of its map — while still well
+# above the f32 depth-noise regime.
+COS_MIN_PARALLAX = float(np.cos(np.deg2rad(0.5)))
 
 
 def triangulate_point_multiview(
@@ -50,19 +57,26 @@ def triangulate_point_multiview(
     # (closed-form: batched eigvalsh is an iterative loop on TPU).
     from rspl_slam_tpu.geometry.linalg import eigvalsh3, solve3
 
-    # Threshold 1e-4 relative: safely above the f32 Cardano noise floor
-    # (~sqrt(eps)·scale perturbation of the smallest root on near-degenerate
-    # spectra — see test_linalg.py), so borderline rank decisions don't flip
-    # on roundoff. Rays spanning even ~1° of parallax clear this by orders
-    # of magnitude; truly degenerate (collinear-ray) systems sit below it.
+    # Acceptance is gated on EXPLICIT parallax: some pair of observing
+    # rays must span ≥ ~0.5° (cos < COS_MIN_PARALLAX). This replaces the
+    # raised eigenvalue-ratio proxy (1e-4 relative), which entangled a
+    # geometric decision with the f32 Cardano noise floor and rejected up
+    # to 100× more low-parallax configurations than the reference's
+    # SVD-based acceptance (map.cc:331-336) — thinning the map on
+    # near-pure-forward motion. The eigenvalue ratio keeps only a NUMERIC
+    # floor (1e-6): the 3×3 solve must be well-posed in f32.
+    pair = mask[:, None] & mask[None, :] & ~jnp.eye(mask.shape[0], dtype=bool)
+    dots = jnp.clip(d_w @ d_w.T, -1.0, 1.0)
+    min_dot = jnp.min(jnp.where(pair, dots, 1.0))
+    ok_parallax = min_dot < COS_MIN_PARALLAX
     w = eigvalsh3(A)
-    ok_rank = w[..., 0] > 1e-4 * jnp.maximum(w[..., 2], 1e-12)
+    ok_rank = w[..., 0] > 1e-6 * jnp.maximum(w[..., 2], 1e-12)
 
     x = solve3(A + 1e-9 * jnp.eye(3, dtype=A.dtype), b)
     # Cheirality: point must be in front of every observing camera.
     p_cam_z = jnp.einsum("mi,mi->m", d_w, (x[None] - t))
     ok_cheir = jnp.all(jnp.where(mask, p_cam_z > 0, True))
-    ok = (jnp.sum(mask) >= 2) & ok_rank & ok_cheir
+    ok = (jnp.sum(mask) >= 2) & ok_rank & ok_parallax & ok_cheir
     return x, ok
 
 

@@ -157,7 +157,12 @@ def fundamental_ransac_inliers(
     keys = jax.random.split(key, iters)
 
     def hypothesis(k):
-        idx = jax.random.categorical(k, logits, shape=(8,))
+        # Gumbel-top-k: 8 DISTINCT matched indices per hypothesis —
+        # categorical sampling draws WITH replacement, so duplicates make
+        # the 8-point system underdetermined and waste iterations (and with
+        # exactly 8 matches a valid all-distinct sample might never occur)
+        g = logits + jax.random.gumbel(k, (K,))
+        _, idx = jax.lax.top_k(g, 8)
         w = jnp.zeros((K,), jnp.float32).at[idx].set(1.0) * m
         return solve_f(w)
 

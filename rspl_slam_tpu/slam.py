@@ -23,6 +23,7 @@ in pipeline.py):
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -117,6 +118,12 @@ class FrameRecord:
 
 
 class SLAMSystem:
+    # wants_images() runs on the PipelinedRunner's extraction thread while
+    # add_frame* runs on the tracking thread: the lazy CombinedTracker build
+    # must not race into two trackers (and two redundant jit traces). Class-
+    # level (not per-instance) so SLAMSystem stays deep-copyable.
+    _combined_lock = threading.Lock()
+
     def __init__(self, cfg: SystemConfig, frontend, enable_ba: bool = True,
                  enable_lines: bool | None = None,
                  enable_loop_closure: bool = False,
@@ -202,11 +209,14 @@ class SLAMSystem:
         ):
             return False
         if self._combined is None:
-            from rspl_slam_tpu.frame_step import CombinedTracker
+            with self._combined_lock:
+                if self._combined is None:
+                    from rspl_slam_tpu.frame_step import CombinedTracker
 
-            tcfg = self.cfg.optimization.tracking
-            self._combined = CombinedTracker(
-                self.frontend, self.K, tcfg.mono_point, tcfg.stereo_point)
+                    tcfg = self.cfg.optimization.tracking
+                    self._combined = CombinedTracker(
+                        self.frontend, self.K,
+                        tcfg.mono_point, tcfg.stereo_point)
         return self._combined.supported(self._ref_feats)
 
     def _add_frame_combined(self, index: int, t: float, img_l,
@@ -575,6 +585,11 @@ class SLAMSystem:
     def _insert_keyframe(self, index, t, Twc, feats: FrameFeatures,
                          i0: np.ndarray, inlier_row: np.ndarray) -> int:
         t0 = time.perf_counter()
+        # settle the previous keyframe's in-flight async solve BEFORE this
+        # keyframe mutates the map: scatter_ba_result's outlier removal and
+        # covisibility decay must target the exact map state its window was
+        # gathered from, not one that since gained observations
+        self.flush_ba()
         # lazy-right mode: run the deferred right-image extraction + stereo
         # association now, exactly where the reference does it
         # (InsertKeyframe → ExtractFeatureAndMatch, map_builder.cc:639-682)
@@ -659,14 +674,17 @@ class SLAMSystem:
         self._triangulate_pending_points(kf)
         if has_lines:
             self._process_keyframe_lines(kf, feats, i0)
+            # stamp the frame's mapline associations for the overlay
+            # renderer (visualization.draw_features colors matched lines
+            # per track, like the reference's DrawFeatures utils.cc:52-66)
+            feats.line_tracks = self.map.kf_line_track[kf].copy()
         self.map.update_covisibility(kf)
         self._t("kf_insert", t0)
 
         if self.enable_ba and self.map.n_kf >= 2:
             t0 = time.perf_counter()
-            # settle the previous keyframe's in-flight solve first: its
-            # window must scatter before this keyframe's window gathers
-            self.flush_ba()
+            # (any in-flight solve was already settled at the top of this
+            # method, before the map mutated)
             if self.cfg.pipeline.async_ba:
                 self._dispatch_local_ba(kf)
             else:
@@ -1031,11 +1049,11 @@ class SLAMSystem:
         scales full-map refinement beyond one chip. Returns the final cost,
         or None when the map is too small.
 
-        Fidelity bound: each landmark contributes at most
-        ``map_store.MAX_OBS`` (16) observations — its newest, by ring
-        replacement — so on loops longer than 16 keyframes the joint
-        refinement optimizes against a truncated observation set (see
-        PARITY.md "Known gaps")."""
+        Constraints are gathered from the COMPLETE back-pointer tables
+        (``full_obs``), not the per-landmark MAX_OBS (16) rings — so on
+        loops longer than 16 keyframes the joint refinement really does use
+        every surviving observation of every landmark (the rings only bound
+        the LOCAL windows, where ≤10 frames can never overflow them)."""
         self.flush_ba()
         m = self.map
         if m.n_kf < min_keyframes:
@@ -1047,15 +1065,19 @@ class SLAMSystem:
             return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
 
         good = m.pt_status[: m.n_pt] == map_store.PT_GOOD
-        n_obs = int(m.pt_obs_n[: m.n_pt][good].sum())
-        n_lobs = int(m.ln_obs_n[: m.n_ln].sum()) if m.n_ln else 0
+        # observation counts from the full back-pointer tables (can exceed
+        # the rings' MAX_OBS-per-landmark total on long loops)
+        tr = m.kf_track[frames]
+        p_all = tr[tr >= 0]
+        n_obs = int((m.pt_status[p_all] == map_store.PT_GOOD).sum())
+        n_lobs = int((m.kf_line_track[frames] >= 0).sum())
         F = pow2(len(frames), 4)
         P = pow2(int(good.sum()), 64)
         L = pow2(max(m.n_ln, 1), 8)
         CP = pow2(n_obs, 128)
         CL = pow2(max(n_lobs, 1), 32)
         problem_np, mapping = m.gather_ba_window(
-            int(frames[-1]), F, P, L, CP, CL, frames=frames,
+            int(frames[-1]), F, P, L, CP, CL, frames=frames, full_obs=True,
         )
         if mapping["ncp"] < 30:
             return None

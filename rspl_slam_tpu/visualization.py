@@ -26,10 +26,13 @@ def _color_for_track(tid: int):
 
 
 def draw_features(image: np.ndarray, xy: np.ndarray, valid: np.ndarray,
-                  track_ids=None, lines=None, line_valid=None) -> np.ndarray:
+                  track_ids=None, lines=None, line_valid=None,
+                  line_track_ids=None) -> np.ndarray:
     """Feature/line overlay ≙ DrawFeatures (utils.cc:35-69): keypoints as
-    colored squares (color by track id), lines drawn in green. Returns an
-    RGB uint8 image."""
+    colored squares (color by track id); detected-but-unmatched lines in
+    green, lines associated with a mapline drawn THICK in their track's
+    color (the reference colors matched lines per line-track id,
+    utils.cc:52-66). Returns an RGB uint8 image."""
     H, W = image.shape
     img = np.repeat((np.clip(image, 0, 1) * 255).astype(np.uint8)[..., None], 3, -1)
     for i in np.nonzero(valid)[0]:
@@ -41,11 +44,18 @@ def draw_features(image: np.ndarray, xy: np.ndarray, valid: np.ndarray,
     if lines is not None:
         for li in np.nonzero(line_valid)[0]:
             x1f, y1f, x2f, y2f = lines[li]
+            tid = -1 if line_track_ids is None or li >= len(line_track_ids) \
+                else int(line_track_ids[li])
+            color = _color_for_track(1_000_003 + tid) if tid >= 0 \
+                else [0, 255, 0]
+            r = 1 if tid >= 0 else 0  # matched lines render thick
             n = int(max(abs(x2f - x1f), abs(y2f - y1f))) + 1
             for t in np.linspace(0, 1, n):
-                x, y = int(round((1 - t) * x1f + t * x2f)), int(round((1 - t) * y1f + t * y2f))
+                x = int(round((1 - t) * x1f + t * x2f))
+                y = int(round((1 - t) * y1f + t * y2f))
                 if 0 <= x < W and 0 <= y < H:
-                    img[y, x] = [0, 255, 0]
+                    img[max(0, y - r): y + r + 1,
+                        max(0, x - r): x + r + 1] = color
     return img
 
 
@@ -210,8 +220,12 @@ class FramePublisher:
                     f"{x:.9f} {y:.9f} {z:.9f} {w:.9f}\n")
 
     def _overlay(self, fid, feats):
-        img = draw_features(feats.image, feats.xy, feats.valid,
-                            lines=feats.lines, line_valid=feats.line_valid)
+        img = draw_features(
+            feats.image, feats.xy, feats.valid,
+            lines=feats.lines, line_valid=feats.line_valid,
+            # keyframes get their mapline associations stamped on by
+            # SLAMSystem._insert_keyframe — matched lines render per-track
+            line_track_ids=getattr(feats, "line_tracks", None))
         save_png(os.path.join(self.out_dir, f"frame_{fid:06d}.png"), img)
 
     def close(self):

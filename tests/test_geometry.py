@@ -194,6 +194,38 @@ class TestTriangulation:
         _, ok = triangulation.triangulate_point_multiview(T, uvn, jnp.ones(4, bool))
         assert not bool(ok)
 
+    def test_parallax_gate_forward_motion(self):
+        """Explicit parallax gate (ADVICE r04): FORWARD-dominant motion —
+        the regime the old raised eigenvalue-ratio gate thinned — must
+        keep off-axis landmarks whose rays span ≥0.5°, and still reject
+        near-on-axis points with essentially no parallax."""
+
+        def rays_for(X, zs):
+            Twc, uvn = [], []
+            for z in zs:
+                T = np.eye(4)
+                T[2, 3] = z  # camera advancing along +z (forward motion)
+                Twc.append(T)
+                Xc = X - T[:3, 3]
+                uvn.append(Xc[:2] / Xc[2])
+            return jnp.asarray(np.stack(Twc)), jnp.asarray(np.stack(uvn))
+
+        zs = [0.0, 0.7, 1.4, 2.0]  # 2 m advance
+        # off-axis point: ~1.4° of parallax across the advance — accept
+        X_side = np.array([1.0, 0.0, 10.0])
+        T, uvn = rays_for(X_side, zs)
+        pt, ok = triangulation.triangulate_point_multiview(
+            T, uvn, jnp.ones(4, bool))
+        assert bool(ok)
+        # f32 at 10 m depth under ~1.4° parallax: mm-level, not µm-level
+        np.testing.assert_allclose(np.asarray(pt), X_side, atol=1e-2)
+        # near-axis point: ~0.02° of parallax — reject (depth unobservable)
+        X_axis = np.array([0.005, 0.0, 10.0])
+        T, uvn = rays_for(X_axis, zs)
+        _, ok = triangulation.triangulate_point_multiview(
+            T, uvn, jnp.ones(4, bool))
+        assert not bool(ok)
+
     def test_line_fit_with_outliers(self):
         rng = np.random.default_rng(10)
         t = rng.uniform(-1, 1, 20)

@@ -119,3 +119,111 @@ class TestGlobalBA:
     def test_too_small_map_is_noop(self):
         slam = _build_map(n_frames=1)
         assert slam.run_global_ba() is None
+
+
+def _reproj_rms_full(slam):
+    """RMS reprojection error over the COMPLETE kf_track back-pointer
+    table — includes observations ring-evicted past MAX_OBS, which the
+    ring-based _reproj_rms above cannot see."""
+    m = slam.map
+    K = slam.K
+    errs = []
+    for kf in range(m.n_kf):
+        for kp in np.nonzero(m.kf_track[kf] >= 0)[0]:
+            pt = int(m.kf_track[kf, kp])
+            if m.pt_status[pt] != map_store.PT_GOOD:
+                continue
+            Tcw = np.linalg.inv(m.kf_pose[kf])
+            Xc = Tcw[:3, :3] @ m.pt_pos[pt] + Tcw[:3, 3]
+            if Xc[2] <= 0.1:
+                continue
+            u = K.fx * Xc[0] / Xc[2] + K.cx
+            v = K.fy * Xc[1] / Xc[2] + K.cy
+            meas = m.kf_meas[kf, kp]
+            errs.append((u - meas[0]) ** 2 + (v - meas[1]) ** 2)
+    return float(np.sqrt(np.mean(errs)))
+
+
+class TestGlobalBALongLoop:
+    """Loops LONGER than the MAX_OBS=16 observation ring (VERDICT r04
+    item 9): global BA gathers from the complete kf_track table, so the
+    joint refinement uses observations the rings evicted."""
+
+    N_KF = 20
+    N_PT = 60
+
+    def _long_loop_slam(self):
+        from rspl_slam_tpu.backend.map_store import MAX_OBS, MapStore
+        from rspl_slam_tpu.frontend.frontends import OracleFrontend
+
+        assert self.N_KF > MAX_OBS
+        cfg = SystemConfig(
+            superpoint=SuperPointConfig(max_keypoints=64),
+            pipeline=PipelineConfig(max_map_keyframes=32, max_map_points=256,
+                                    ba_max_points=256),
+        )
+        scene = synthetic.make_scene(num_points=10, seed=0)
+        slam = SLAMSystem(cfg, OracleFrontend(cfg, scene), enable_ba=False)
+        cam = cfg.camera
+        m = MapStore(64, cfg.line_detector.max_lines, cfg.pipeline,
+                     desc_dim=cfg.superglue.descriptor_dim)
+        m.set_intrinsics(cam.fx, cam.fy, cam.cx, cam.cy)
+        rng = np.random.default_rng(5)
+        pts_w = rng.uniform([-2, -1.5, 5], [2, 1.5, 10], (self.N_PT, 3))
+        descs = rng.standard_normal((self.N_PT, 256)).astype(np.float32)
+        pt_ids = m.new_mappoints_batch(pts_w, descs)
+        for k in range(self.N_KF):
+            Twc = np.eye(4)
+            Twc[0, 3] = 0.02 * k  # every keyframe sees every landmark
+            Tcw = np.linalg.inv(Twc)
+            Xc = pts_w @ Tcw[:3, :3].T + Tcw[:3, 3]
+            meas = np.zeros((64, 3), np.float32)
+            meas[: self.N_PT, 0] = cam.fx * Xc[:, 0] / Xc[:, 2] + cam.cx
+            meas[: self.N_PT, 1] = cam.fy * Xc[:, 1] / Xc[:, 2] + cam.cy
+            meas[: self.N_PT, 2] = meas[: self.N_PT, 0] - cam.bf / Xc[:, 2]
+            valid = np.arange(64) < self.N_PT
+            kf = m.add_keyframe(k, 0.05 * k, Twc, meas, valid,
+                                np.zeros((64, 256), np.float16),
+                                np.ones(64, np.float16), fixed=k == 0)
+            m.add_point_obs_batch(pt_ids, kf, np.arange(self.N_PT))
+            m.update_covisibility(kf)
+        slam.map = m
+        slam.initialized = True
+        slam._ref_kf = m.n_kf - 1
+        return slam, pt_ids
+
+    def test_global_ba_uses_evicted_observations(self):
+        from rspl_slam_tpu.backend.map_store import MAX_OBS
+
+        slam, pt_ids = self._long_loop_slam()
+        m = slam.map
+        # the rings saturated at MAX_OBS, but the full table kept all N_KF
+        assert (m.pt_obs_n[pt_ids] == MAX_OBS).all()
+        per_pt_tracked = (m.kf_track[: m.n_kf] >= 0).sum(0)
+        assert (per_pt_tracked[: self.N_PT] == self.N_KF).all()
+
+        # the global gather must contain ALL N_KF×N_PT constraints —
+        # including the N_KF−MAX_OBS oldest (ring-evicted) keyframes
+        frames = np.arange(m.n_kf)
+        _, mapping = m.gather_ba_window(
+            m.n_kf - 1, 32, 256, 8, 2048, 32, frames=frames, full_obs=True)
+        assert mapping["ncp"] == self.N_KF * self.N_PT
+        assert set(np.unique(mapping["p_pose"])) == set(range(self.N_KF))
+        # the ring gather, by contrast, is capped
+        _, ring_map = m.gather_ba_window(
+            m.n_kf - 1, 32, 256, 8, 2048, 32, frames=frames)
+        assert ring_map["ncp"] == MAX_OBS * self.N_PT
+
+        # and run_global_ba (which uses the full table) drives the
+        # FULL-table reprojection error down — evicted observations
+        # included in the metric
+        rng = np.random.default_rng(7)
+        for k in range(1, m.n_kf):
+            m.kf_pose[k][:3, 3] += rng.standard_normal(3) * 0.01
+        m.pt_pos[pt_ids] += rng.standard_normal((self.N_PT, 3)) * 0.02
+        before = _reproj_rms_full(slam)
+        cost = slam.run_global_ba()
+        assert cost is not None
+        after = _reproj_rms_full(slam)
+        assert after < before * 0.2, (before, after)
+        assert after < 0.5, after  # noiseless synthetic: near machine floor
