@@ -27,13 +27,21 @@ __all__ = ["make_batch", "loss_fn", "train", "matching_accuracy"]
 def make_batch(rng: np.random.Generator, batch: int, K: int,
                cfg: SuperGlueConfig, desc_dim: int = 256,
                match_frac: float = 0.65, desc_noise: float = 0.15,
-               pos_noise: float = 1.0):
+               pos_noise: float = 1.0, cluster: float = 0.0,
+               score_lo: float = 0.2, score_hi: float = 1.0):
     """Random matching problems with ground truth.
 
     Returns (xy0, sc0, d0, v0, xy1, sc1, d1, v1, gt0) — gt0 (B, K) int32:
     the index in set 1 matching keypoint i of set 0, or K for the dustbin.
     Invalid (padded) slots carry gt0 = −1 and are excluded from the loss.
-    """
+
+    ``cluster`` > 0 compresses the descriptor space around a shared mean
+    direction per batch item: d ← unit(μ + cluster·d). This reproduces the
+    regime an UNTRAINED SuperPoint emits (weight-bias-dominated
+    descriptors: distinct-pair cosine ≈ 1/(1+cluster²) ≈ 0.99, matched
+    pairs a hair above) — the deployment distribution when no public
+    checkpoint is available. ``score_lo/hi`` bound the keypoint scores
+    (untrained SuperPoint scores sit near 0.02–0.1, not 0.2–1)."""
     W, H = cfg.image_width, cfg.image_height
     B = batch
 
@@ -77,8 +85,12 @@ def make_batch(rng: np.random.Generator, batch: int, K: int,
             d1[b, j] = noisy(land[b, i], desc_dim)
             gt0[b, i] = j
     gt0[~v0] = -1
-    sc0 = rng.uniform(0.2, 1.0, (B, K)).astype(np.float32) * v0
-    sc1 = rng.uniform(0.2, 1.0, (B, K)).astype(np.float32) * v1
+    if cluster > 0:
+        mu = unit(rng.standard_normal((B, 1, desc_dim)).astype(np.float32))
+        d0 = unit(mu + cluster * d0)
+        d1 = unit(mu + cluster * d1)
+    sc0 = rng.uniform(score_lo, score_hi, (B, K)).astype(np.float32) * v0
+    sc1 = rng.uniform(score_lo, score_hi, (B, K)).astype(np.float32) * v1
     return tuple(jnp.asarray(a) for a in (
         xy0, sc0, d0.astype(np.float32), v0, xy1, sc1,
         d1.astype(np.float32), v1, gt0,
