@@ -229,6 +229,15 @@ def _dump_viz(slam, viz_dir):
         viz.save_ply_lines(os.path.join(viz_dir, "maplines.ply"), lns)
     _, poses = m.keyframe_trajectory()
     viz.save_trajectory_png(os.path.join(viz_dir, "trajectory.png"), poses)
+    # per-keyframe feature/line overlays from the stored map (detected
+    # lines green, mapline-matched lines colored per track)
+    cam = slam.cfg.camera
+    for kf in range(m.n_kf):
+        if not m.kf_valid[kf]:
+            continue
+        ov = viz.keyframe_overlay(m, kf, height=cam.image_height,
+                                  width=cam.image_width)
+        viz.save_png(os.path.join(viz_dir, f"kf_{kf:03d}_overlay.png"), ov)
     print(f"visualization → {viz_dir}")
 
 

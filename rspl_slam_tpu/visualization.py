@@ -15,8 +15,9 @@ import threading
 
 import numpy as np
 
-__all__ = ["draw_features", "save_ply_points", "save_ply_lines",
-           "save_trajectory_png", "AsyncDumper", "FramePublisher"]
+__all__ = ["draw_features", "keyframe_overlay", "save_ply_points",
+           "save_ply_lines", "save_trajectory_png", "AsyncDumper",
+           "FramePublisher"]
 
 
 def _color_for_track(tid: int):
@@ -57,6 +58,27 @@ def draw_features(image: np.ndarray, xy: np.ndarray, valid: np.ndarray,
                     img[max(0, y - r): y + r + 1,
                         max(0, x - r): x + r + 1] = color
     return img
+
+
+def keyframe_overlay(m, kf: int, image: np.ndarray | None = None,
+                     height: int | None = None,
+                     width: int | None = None) -> np.ndarray:
+    """Overlay of a STORED keyframe rendered straight from the map arrays:
+    keypoints colored by mappoint track, detected lines green,
+    mapline-matched lines thick in their track color — the qualitative
+    check the reference's DrawFeatures/debug renderers provide
+    (utils.cc:35-69, debug.h:19-253). ``image``: optional background
+    (grayscale float [0,1]); otherwise a black canvas of (height, width) —
+    oracle/synthetic runs keep no pixels but their geometry still needs
+    eyeballing."""
+    if image is None:
+        image = np.zeros((height, width), np.float32)
+    return draw_features(
+        image, m.kf_meas[kf, :, :2], m.kf_kpt_valid[kf],
+        track_ids=m.kf_track[kf],
+        lines=m.kf_lines[kf], line_valid=m.kf_line_valid[kf],
+        line_track_ids=m.kf_line_track[kf],
+    )
 
 
 def save_png(path: str, rgb: np.ndarray):
