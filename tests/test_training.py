@@ -93,6 +93,82 @@ class TestSuperGlueTraining:
         assert hist[-1] < hist[0] * 0.5, (hist[0], hist[-1])
         assert acc1 > 0.9 and acc1 > acc0 + 0.5, (acc0, acc1)
 
+    def test_shift_pair_bank_labels_are_exact(self):
+        """Distillation bank (bench's trained-matcher bootstrap): shifted
+        sub-pixel crops of a textured image give EXACT correspondence, so
+        the self-labeled GT must be geometrically consistent — matched
+        keypoints land within tolerance of the un-shifted position, and a
+        healthy fraction of keypoints match at all."""
+        import jax
+        import numpy as np
+
+        from rspl_slam_tpu.config import SuperPointConfig
+        from rspl_slam_tpu.models import superpoint
+        from rspl_slam_tpu.training import superglue_train as G
+
+        rng_img = np.random.default_rng(0)
+        # smooth random texture (pure noise has no stable keypoints)
+        img = rng_img.uniform(size=(40, 50)).astype(np.float32)
+        img = np.kron(img, np.ones((8, 8), np.float32))  # (320, 400)
+        sp_params = superpoint.init_params(jax.random.PRNGKey(1))
+        sp_cfg = SuperPointConfig(max_keypoints=64, keypoint_threshold=1e-4)
+        bank = G.make_shift_pair_bank(
+            [img], sp_params, sp_cfg, n_pairs=4, K=64,
+            rng=np.random.default_rng(2), crop_hw=(160, 240),
+            shift_range=16.0)
+        assert len(bank) == 4
+        any_matches = 0
+        for xy0, sc0, d0, v0, xy1, sc1, d1, v1, gt0 in bank:
+            m = (gt0 >= 0) & (gt0 < 64)
+            any_matches += int(m.sum())
+            # matched pairs: descriptor similarity above the population
+            if m.sum() >= 2:
+                sims = np.einsum("ij,ij->i", d0[m], d1[gt0[m]])
+                assert sims.mean() > 0.9
+            assert (gt0[~v0] == -1).all()
+        assert any_matches >= 20, any_matches
+
+    def test_label_by_landmarks(self):
+        """Landmark-table labeling (the stereo/temporal distillation bank):
+        keypoints bound to the same visible landmark match; keypoints far
+        from every landmark — and keypoints whose landmark is missing in
+        the other view — go to the dustbin; invalid rows are −1."""
+        import numpy as np
+
+        from rspl_slam_tpu.training import superglue_train as G
+
+        lm0 = np.array([[10.0, 10], [50, 20], [90, 40], [130, 80]])
+        lm1 = lm0 - [16.0, 0]  # "disparity" per landmark
+        vis = np.array([True, True, True, False])  # landmark 3 not shared
+        # view-0 keypoints: near lm0..lm2, one spurious, one invalid slot
+        xy0 = np.array([[11.0, 9], [49, 21], [91, 39], [200, 200], [0, 0]])
+        v0 = np.array([True, True, True, True, False])
+        # view-1 keypoints: near lm1 of 0 and 2 only (landmark 1 undetected)
+        xy1 = np.array([[-6.0, 10], [75, 40], [114, 80]])
+        v1 = np.ones(3, bool)
+        gt0 = G.label_by_landmarks(xy0, v0, xy1, v1, lm0, lm1, vis,
+                                   tol_px=5.0)
+        K1 = 3
+        assert gt0[0] == 0          # lm0 seen in both
+        assert gt0[1] == K1         # lm1 undetected in view 1 → dustbin
+        assert gt0[2] == 1          # lm2 → keypoint 1 of view 1
+        assert gt0[3] == K1         # spurious keypoint → dustbin
+        assert gt0[4] == -1         # invalid row
+
+    def test_bank_batch_fn_stacks(self):
+        import numpy as np
+
+        from rspl_slam_tpu.training import superglue_train as G
+
+        cfg = self._cfg()
+        # reuse the synthetic generator to fabricate bank items
+        b = G.make_batch(np.random.default_rng(0), 3, 16, cfg)
+        bank = [tuple(np.asarray(a)[i] for a in b) for i in range(3)]
+        fn = G.bank_batch_fn(bank)
+        out = fn(np.random.default_rng(1), 2, 16, cfg)
+        assert out[0].shape == (2, 16, 2)
+        assert out[-1].shape == (2, 16)
+
     def test_ground_truth_batch_sanity(self):
         import numpy as np
 
