@@ -76,6 +76,79 @@ def _make_min_dataset(root):
             os.path.join(root, sub, "000000.png"))
 
 
+class TestTrainedDatasetAutoRun:
+    @pytest.mark.slow
+    def test_auto_run_yields_fps_and_ate(self, clean_env, tmp_path):
+        """The full item-8 flow: weight files + a dataset sequence + a TUM
+        ground-truth file appear → bench._trained_dataset_run produces
+        fps, keyframe count and ATE with zero code change. Small camera /
+        synthetic frames keep the test fast; the production entry point
+        builds the EuRoC-scale config when ``cfg`` is omitted."""
+        import jax
+        from PIL import Image
+
+        import bench
+        from rspl_slam_tpu.config import (CameraConfig, PipelineConfig,
+                                          SuperGlueConfig, SuperPointConfig,
+                                          SystemConfig)
+        from rspl_slam_tpu.datasets import write_tum_trajectory
+        from rspl_slam_tpu.evaluation import synthetic
+        from rspl_slam_tpu.models import superglue, superpoint
+        from rspl_slam_tpu.models.weights import save_npz_pytree
+        from rspl_slam_tpu.slam import INIT_POSE
+
+        cam = CameraConfig(image_width=256, image_height=160, fx=200.0,
+                           fy=200.0, cx=128.0, cy=80.0, bf=30.0)
+        # "checkpoints": seeded inits round-tripped through npz — the
+        # loader path is identical for real .pth-converted weights
+        sg_arch = SuperGlueConfig(image_width=256, image_height=160,
+                                  num_gnn_layers=2, sinkhorn_iterations=10)
+        wdir = tmp_path / "weights"
+        wdir.mkdir()
+        save_npz_pytree(str(wdir / "superpoint.npz"),
+                        superpoint.init_params(jax.random.PRNGKey(0)))
+        save_npz_pytree(str(wdir / "superglue.npz"),
+                        superglue.init_params(jax.random.PRNGKey(1), sg_arch))
+        weights = {"superpoint": str(wdir / "superpoint.npz"),
+                   "superglue": str(wdir / "superglue.npz")}
+        import dataclasses
+
+        cfg = SystemConfig(
+            superpoint=SuperPointConfig(max_keypoints=128,
+                                        keypoint_threshold=1e-4,
+                                        weights_path=weights["superpoint"]),
+            superglue=dataclasses.replace(
+                sg_arch, weights_path=weights["superglue"]),
+            camera=cam, use_lines=False,
+            pipeline=PipelineConfig(lazy_right_extraction=False),
+        )
+        # dataset: rendered synthetic frames in left/right layout + TUM gt
+        scene = synthetic.make_scene(num_points=400, seed=1)
+        N = 6
+        traj = synthetic.make_trajectory(N, step=0.04)
+        d = tmp_path / "seq"
+        for sub in ("left", "right"):
+            (d / sub).mkdir(parents=True)
+        times = np.arange(N) / 20.0
+        for i in range(N):
+            il, ir = synthetic.render_images(scene, cam, traj[i], seed=i)
+            for sub, img in (("left", il), ("right", ir)):
+                Image.fromarray(
+                    (np.clip(img, 0, 1) * 255).astype(np.uint8)
+                ).save(str(d / sub / f"{i:06d}.png"))
+        gt = np.einsum("ij,njk->nik", INIT_POSE, traj)
+        write_tum_trajectory(str(d / "groundtruth.txt"), times, gt)
+
+        # the run must EXECUTE the full flow end to end (tracking quality
+        # with random-seed "checkpoints" is not the point here)
+        out = bench._trained_dataset_run(weights, str(d), max_frames=N,
+                                         cfg=cfg)
+        assert out["frames"] == N
+        assert out["fps"] > 0
+        assert "ate" in out, out  # groundtruth.txt was found and used
+        assert out["ate"]["n"] >= 0
+
+
 class TestFindDatasetRoot:
     def test_none_when_nothing_present(self, clean_env, tmp_path):
         clean_env.setenv("RSPL_DATA_DIR", str(tmp_path))
