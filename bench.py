@@ -186,7 +186,7 @@ class _rtt_instrumentation:
 
 
 def _synth_superglue_weights(sg_cfg, sp_params, scene, cam, traj,
-                             frames, steps: int = 600) -> str:
+                             frames, steps: int = 1200) -> str:
     """Functional weights for the PRODUCTION matcher architecture. A
     random-init SuperGlue matches nothing — the map never initializes — so
     when no public checkpoint is present (utils/artifacts.py) the bench
@@ -218,7 +218,7 @@ def _synth_superglue_weights(sg_cfg, sp_params, scene, cam, traj,
         return path
     Kt = 256
     sp_cfg_t = SuperPointConfig(max_keypoints=Kt, keypoint_threshold=1e-4)
-    idxs = np.unique(np.linspace(0, len(frames) - 1, 16).astype(int))
+    idxs = np.unique(np.linspace(0, len(frames) - 1, 24).astype(int))
     imgs = []
     for i in idxs:
         imgs += [frames[i][0], frames[i][1]]
@@ -371,9 +371,8 @@ def measured_pipeline(n_frames: int = 120):
         "measured_frames": n_frames,
         "measured_keyframes": int(n_kf),
         "measured_matcher": f"superglue ({sg_kind})",
-        "measured_weights": {k: True for k in
-                             ("superpoint", "superglue", "rcf")
-                             if k in weights} or "random-init",
+        "measured_public_checkpoints": sorted(weights) or
+        "none-found (superpoint/rcf random-init, superglue distilled)",
         "measured_span_medians_ms": {k: round(v, 2) for k, v in med.items()},
         "rtt_per_frame": per_frame,
         "rtt_dispatch_sites": counts["by_site"],
@@ -625,7 +624,12 @@ def main():
 
     one_mb = np.zeros(1 << 20, np.uint8)
     np.asarray(echo(one_mb))  # compile + warm
-    wall_mb = min(_timed(lambda: np.asarray(echo(one_mb))) for _ in range(3))
+    # median of 5: the per-byte rate is what prices the measured loop's
+    # payloads — min-wall would report the link's best case and overstate
+    # the residual, max its worst
+    walls = sorted(_timed(lambda: np.asarray(echo(one_mb)))
+                   for _ in range(5))
+    wall_mb = walls[len(walls) // 2]
     bw_bytes = 2 * float(1 << 20) / max(wall_mb - rtt, 1e-4)
 
     ITERS_P, ITERS_F, ITERS_L = 100, 30, 50
@@ -769,7 +773,9 @@ def main():
 
     dt_sp = stage_dt(sp_live)
     dt_sg = stage_dt(sg_live)
-    dt_sink = stage_dt(sink_live)
+    # sinkhorn is ~0.1 ms/call: a 20-call chain disappears under RTT
+    # jitter, so give it a long chain for a resolvable wall
+    dt_sink = stage_dt(sink_live, iters=400)
     dt_ba_call = dt_ba * 10.0  # one optimize_local_map invocation
 
     dev = jax.devices()[0]
@@ -960,6 +966,11 @@ def main():
                 "pass (np.asarray fetch hook + wrapped jitted entry "
                 "points), not estimated; on co-located hardware the "
                 "RTT-free stage model is the per-chip number",
+        "residual_attribution": "host python between chains (keyframe map "
+                "bookkeeping at the measured cadence, queue handoffs) and "
+                "per-chain RTT jitter above the floor-of-5 minimum; the "
+                "stage model prices keyframe host work at bench-map "
+                "scale, not the measured run's larger map",
     }
 
     # ---- trained-checkpoint / dataset autodetect (r04 item 8) ----------
