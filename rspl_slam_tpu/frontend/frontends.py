@@ -202,18 +202,25 @@ def make_cosine_match_fn():
 
 @partial(jax.jit, static_argnames=("match_fn", "sp_cfg", "ds", "min_len",
                                    "inlier_dist", "max_segs", "use_lines",
-                                   "compute_dtype"))
+                                   "compute_dtype", "include_desc"))
 def _complete_stereo_fused(match_fn, sg_params, sp_params, rcf_params,
                            img_r, map_r, q_xy, q_score, q_desc, q_valid,
                            sp_cfg, ds: int, min_len: float,
                            inlier_dist: float, max_segs: int,
-                           use_lines: bool, compute_dtype):
+                           use_lines: bool, compute_dtype,
+                           include_desc: bool = False):
     """Deferred right-image work at keyframe insertion as ONE dispatch:
     uint8→float + rectify, SuperPoint, left↔right matching, and (lines on)
     RCF + Hough on the right image — packed into one host-bound buffer
     [xyR; validR; i0; segsR; seg_valid]. ≙ InsertKeyframe →
     ExtractFeatureAndMatch (map_builder.cc:639-682), which the r03 code
-    ran as 3-4 separate dispatches with a round trip each."""
+    ran as 3-4 separate dispatches with a round trip each.
+
+    ``include_desc`` appends the LEFT descriptors (which keyframe
+    insertion is about to need on the host) as f16 pairs bitcast into the
+    f32 buffer — riding this fetch instead of paying a separate round
+    trip for the deferred-descriptor handle the combined frame step left
+    behind (frame_step.py)."""
     from rspl_slam_tpu.models import rcf, superpoint
     from rspl_slam_tpu.ops import lines as lops
 
@@ -236,6 +243,9 @@ def _complete_stereo_fused(match_fn, sg_params, sp_params, rcf_params,
             max_segments=max_segs,
         )
         parts += [segs.astype(f32).reshape(-1), sval.astype(f32)]
+    if include_desc:
+        d16 = q_desc.astype(jnp.float16).reshape(-1, 2)
+        parts += [jax.lax.bitcast_convert_type(d16, jnp.float32)]
     return jnp.concatenate(parts)
 
 
@@ -813,6 +823,12 @@ class NeuralFrontend:
                 q_xy, q_score, q_desc, q_valid = (
                     jnp.asarray(ff.xy), jnp.asarray(ff.score),
                     jnp.asarray(ff.desc), jnp.asarray(ff.valid))
+            # combined-step frames carry a deferred-descriptor handle
+            # (xy already on host, desc not): ride the left descriptors on
+            # THIS fetch instead of a separate round trip for the handle
+            want_desc = (ff._np.get("desc") is None
+                         and ff._packed is not None
+                         and ff._np.get("xy") is not None)
             packed = _complete_stereo_fused(
                 self._graph_match_fn, self._graph_match_params,
                 self.sp_params,
@@ -821,17 +837,28 @@ class NeuralFrontend:
                 self.cfg.superpoint, ds, float(ld.length_threshold),
                 float(ld.distance_threshold), int(ld.max_lines),
                 self.use_lines, self.compute_dtype,
+                include_desc=want_desc,
             )
             buf = np.asarray(packed)  # the one blocking round trip
             xyR = np.ascontiguousarray(buf[: 2 * K].reshape(K, 2))
             validR = buf[2 * K: 3 * K] > 0.5
             i0 = buf[3 * K: 4 * K].astype(np.int64)
             segs_r = None
+            end = 4 * K
             if self.use_lines:
-                sv = buf[4 * K:].reshape(-1, 5)
+                nseg = 5 * int(ld.max_lines)
+                sv = buf[end: end + nseg].reshape(-1, 5)
                 segs_r = self._host_merge(
                     np.ascontiguousarray(sv[sv[:, 4] > 0.5, :4]) * ds
                 )
+                end += nseg
+            if want_desc:
+                D = q_desc.shape[-1]
+                d16 = np.ascontiguousarray(
+                    buf[end: end + K * D // 2]).view(np.float16)
+                ff.desc = d16.astype(np.float32).reshape(K, D)
+                ff._packed = None  # the separate handle is now redundant
+                ff._unpack = None
         else:
             img_r = _prep_image(img_np[None], map_r)
             featsR = superpoint.extract(

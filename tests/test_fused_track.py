@@ -122,6 +122,62 @@ class TestCombinedFrameStep:
         # keyframe structure agrees
         assert slam_c.map.n_kf == slam_s.map.n_kf
 
+    def test_keyframe_desc_rides_completion_fetch(self):
+        """The combined step defers the descriptor download; at keyframe
+        insertion the left descriptors must ride the stereo-completion
+        fetch (f16 pairs bitcast into the f32 buffer) instead of paying a
+        separate round trip — and must round-trip EXACTLY to the device
+        f16 values (bitcast is lossless; only the f32→f16 cast quantizes,
+        which the map's own f16 descriptor store already accepts)."""
+        import dataclasses as dc
+
+        from rspl_slam_tpu.config import LineDetectorConfig, PipelineConfig
+        from rspl_slam_tpu.frame_step import CombinedTracker
+
+        cfg = small_cfg()
+        cfg = dc.replace(
+            cfg,
+            pipeline=PipelineConfig(lazy_right_extraction=True),
+            line_detector=LineDetectorConfig(max_lines=32),
+            use_lines=True,
+        )
+        scene = synthetic.make_scene(num_points=500, num_lines=6, seed=1,
+                                     extent=(6.0, 4.0, 6.0),
+                                     on_line_frac=0.0)
+        traj = synthetic.make_trajectory(3, step=0.06)
+        fe = NeuralFrontend(cfg, matcher="cosine")
+        slam = SLAMSystem(cfg, fe)
+        for i in range(3):
+            il, ir = synthetic.render_images(scene, cfg.camera, traj[i],
+                                             seed=i)
+            il = (np.clip(il, 0, 1) * 255).astype(np.uint8)
+            ir = (np.clip(ir, 0, 1) * 255).astype(np.uint8)
+            slam.add_frame(i, i * 0.05, il, ir)
+        assert slam.initialized
+        # drive one combined frame by hand so we hold its FrameFeatures
+        # BEFORE keyframe completion
+        assert slam.wants_images()
+        il, ir = synthetic.render_images(scene, cfg.camera, traj[2], seed=9)
+        il = (np.clip(il, 0, 1) * 255).astype(np.uint8)
+        ir = (np.clip(ir, 0, 1) * 255).astype(np.uint8)
+        ref_pt = slam.map.kf_track[slam._ref_kf]
+        safe = np.maximum(ref_pt, 0)
+        ref_good = ref_pt >= 0
+        ff, i0, Twc, n_inl, inlier = slam._combined.step(
+            il, ir, slam._ref_feats, slam.map.pt_pos[safe], ref_good,
+            slam._last_Twc)
+        # descriptors are deferred: xy on host, desc not, handle pending
+        assert ff._np["xy"] is not None
+        assert ff._np["desc"] is None and ff._packed is not None
+        dev_desc16 = np.asarray(ff.dev[2]).astype(np.float16)
+        ff2 = fe.complete_stereo(ff)
+        # completion satisfied the descriptor need on ITS fetch: the
+        # separate handle is gone and desc equals the device f16 exactly
+        assert ff2._packed is None
+        assert ff2._np["desc"] is not None
+        np.testing.assert_array_equal(
+            ff2.desc.astype(np.float16), dev_desc16)
+
     def test_pipelined_runner_uses_combined(self):
         from rspl_slam_tpu.datasets import StereoFrame
         from rspl_slam_tpu.pipeline import PipelinedRunner
