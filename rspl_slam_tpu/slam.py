@@ -948,23 +948,40 @@ class SLAMSystem:
         self.apply_ba_result(result, mapping, center_kf)
 
     def _dispatch_local_ba(self, center_kf: int):
-        """Async mode: leave the solve in flight; it overlaps the next
-        frames' tracking and settles via :meth:`flush_ba`."""
+        """Async mode: leave the solve in flight AND fetch its result on a
+        background thread — the blocking device→host download (a full
+        round trip on a tunneled device) overlaps the next frames'
+        tracking instead of stalling the next keyframe's flush. The thread
+        only downloads; all map mutation stays on the tracking thread at
+        :meth:`flush_ba`."""
         result, mapping = self._solve_local_ba(center_kf)
-        if result is not None:
-            self._pending_ba = (result, mapping, center_kf)
+        if result is None:
+            return
+        holder: dict = {}
+
+        def _fetch():
+            try:
+                holder["result"] = local_ba.fetch_result(result)
+            except BaseException as e:  # surfaced at flush_ba
+                holder["error"] = e
+
+        t = threading.Thread(target=_fetch, daemon=True)
+        t.start()
+        self._pending_ba = (holder, t, mapping, center_kf)
 
     def flush_ba(self):
-        """Fetch + scatter an in-flight async BA result, if any. Called
+        """Join + scatter an in-flight async BA result, if any. Called
         before the next window gather, any global backend pass, culling,
         and map/trajectory saves; harmless no-op otherwise."""
         if self._pending_ba is None:
             return
-        result, mapping, center_kf = self._pending_ba
+        holder, t, mapping, center_kf = self._pending_ba
         self._pending_ba = None
         t0 = time.perf_counter()
-        result = local_ba.fetch_result(result)
-        self.map.scatter_ba_result(result, mapping)
+        t.join()
+        if "error" in holder:
+            raise holder["error"]
+        self.map.scatter_ba_result(holder["result"], mapping)
         self._refresh_line_endpoints(mapping["lns"])
         # deliberately NOT re-anchoring _last_Twc here: tracking has moved
         # past the solved window's center; teleporting the anchor back
