@@ -63,10 +63,14 @@ def _members_to_lists(members: np.ndarray | None, width: int = 32) -> np.ndarray
 
 
 @jax.jit
-def _tri_points_packed(Twc, uvn, mask):
+def _tri_points_packed(pose_table, okf, uvn, mask):
     """vmapped multi-view triangulation with a single packed download
     [pts; ok] — separate fetches each cost a round trip on a tunneled
-    device."""
+    device. Observer poses arrive as a SMALL keyframe pose table plus
+    (B, MAX_OBS) int32 indices and are gathered on device: the naive
+    per-observation (B, MAX_OBS, 4, 4) upload is ~95% repeated rows and
+    was the third-largest transfer in the measured production loop."""
+    Twc = jnp.take(pose_table, okf, axis=0)  # (B, M, 4, 4)
     pts, ok = jax.vmap(triangulation.triangulate_point_multiview)(
         Twc, uvn, mask)
     return jnp.concatenate(
@@ -862,29 +866,35 @@ class SLAMSystem:
         okf = self.map.pt_obs_kf[cand]  # (n, MAX_OBS)
         okp = self.map.pt_obs_kpt[cand]
         mask = okf >= 0
-        Twc = np.where(
-            mask[..., None, None],
-            self.map.kf_pose[np.maximum(okf, 0)],
-            np.eye(4),
-        )
         uv = self.map.kf_meas[np.maximum(okf, 0), np.maximum(okp, 0), :2]
         uvn = np.where(
             mask[..., None],
             (uv - [cam.cx, cam.cy]) / [cam.fx, cam.fy],
             0.0,
-        )
+        ).astype(np.float32)
+        # observer poses go up as a pow-2-padded pose TABLE (F, 4, 4) +
+        # int32 indices, gathered on device (everything is f32 under jit
+        # anyway; the old per-observation f64 pose upload was ~1 MB per
+        # keyframe of mostly repeated rows)
+        n_kf = self.map.n_kf
+        Fp = max(16, 1 << (n_kf - 1).bit_length() if n_kf > 1 else 1)
+        pose_table = np.tile(np.eye(4, dtype=np.float32), (Fp, 1, 1))
+        pose_table[:n_kf] = self.map.kf_pose[:n_kf]
+        okf_i = np.maximum(okf, 0).astype(np.int32)
         # pad the candidate dim to a power of two with a generous floor:
         # one or two compiled graphs total instead of per distinct
         # candidate count; padded rows have all-False masks (→ ok False)
         n = len(cand)
         B = max(512, 1 << (n - 1).bit_length() if n > 1 else 1)
         if B > n:
-            Twc = np.concatenate(
-                [Twc, np.tile(np.eye(4), (B - n, Twc.shape[1], 1, 1))])
-            uvn = np.concatenate([uvn, np.zeros((B - n,) + uvn.shape[1:])])
+            okf_i = np.concatenate(
+                [okf_i, np.zeros((B - n, okf_i.shape[1]), np.int32)])
+            uvn = np.concatenate(
+                [uvn, np.zeros((B - n,) + uvn.shape[1:], np.float32)])
             mask = np.concatenate(
                 [mask, np.zeros((B - n, mask.shape[1]), bool)])
-        buf = np.asarray(_tri_points_packed(Twc, uvn, mask))  # 1 round trip
+        buf = np.asarray(
+            _tri_points_packed(pose_table, okf_i, uvn, mask))  # 1 round trip
         pts = buf[: 3 * B].reshape(B, 3)[:n]
         ok = (buf[3 * B:] > 0.5)[:n]
         sel = cand[ok]
@@ -965,7 +975,7 @@ class SLAMSystem:
             except BaseException as e:  # surfaced at flush_ba
                 holder["error"] = e
 
-        t = threading.Thread(target=_fetch, daemon=True)
+        t = threading.Thread(target=_fetch, daemon=True, name="ba-fetch")
         t.start()
         self._pending_ba = (holder, t, mapping, center_kf)
 

@@ -6,14 +6,20 @@ import numpy as np
 
 
 def _tri_inputs():
-    B, M = 2, 3
-    Twc = np.tile(np.eye(4, dtype=np.float32), (B, M, 1, 1))
-    Twc[0, 1, 0, 3] = 0.3
-    Twc[1, 1, 0, 3] = 0.5
+    B, M, F = 2, 3, 4
+    # pose TABLE + int32 observer indices (gathered on device — the
+    # per-observation pose upload was the measured loop's third-largest
+    # transfer)
+    table = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    table[1, 0, 3] = 0.3
+    table[2, 0, 3] = 0.5
+    okf = np.zeros((B, M), np.int32)
+    okf[0, 1] = 1
+    okf[1, 1] = 2
     uvn = np.full((B, M, 2), 0.05, np.float32)
     uvn[:, 1] = 0.02
     mask = np.ones((B, M), bool)
-    return Twc, uvn, mask
+    return table, okf, uvn, mask
 
 
 class TestRTTMeter:
@@ -21,16 +27,20 @@ class TestRTTMeter:
         import bench
         from rspl_slam_tpu import slam as slam_mod
 
-        Twc, uvn, mask = _tri_inputs()
+        table, okf, uvn, mask = _tri_inputs()
         meter = bench._RTTMeter()
         with bench._rtt_instrumentation(meter):
-            buf = slam_mod._tri_points_packed(Twc, uvn, mask)
+            buf = slam_mod._tri_points_packed(table, okf, uvn, mask)
             arr = np.asarray(buf)  # the blocking fetch
         assert meter.dispatches == 1
         assert meter.by_site == {"_tri_points_packed": 1}
         assert meter.fetches == 1
-        assert meter.upload_bytes == Twc.nbytes + uvn.nbytes + mask.nbytes
+        assert meter.upload_bytes == (table.nbytes + okf.nbytes
+                                      + uvn.nbytes + mask.nbytes)
         assert meter.fetch_bytes == arr.nbytes
+        # blocking fetch WALL is counted (the measured_split itemization)
+        assert meter.fetch_wall > 0.0
+        assert meter.fetch_wall_overlap == 0.0
 
     def test_patching_is_reversible(self):
         import numpy as numpy_mod
@@ -52,7 +62,32 @@ class TestRTTMeter:
         import bench
         from rspl_slam_tpu import slam as slam_mod
 
-        Twc, uvn, mask = _tri_inputs()
+        table, okf, uvn, mask = _tri_inputs()
         meter = bench._RTTMeter()
-        np.asarray(slam_mod._tri_points_packed(Twc, uvn, mask))
+        np.asarray(slam_mod._tri_points_packed(table, okf, uvn, mask))
         assert meter.dispatches == 0 and meter.fetches == 0
+
+    def test_ba_fetch_thread_bucketed_as_overlap(self):
+        # fetches on the named ba-fetch thread land in the OVERLAP bucket:
+        # slam._dispatch_local_ba downloads BA results on such a thread so
+        # they never sit on the tracking loop's critical path
+        import threading
+
+        import jax.numpy as jnp
+
+        import bench
+
+        meter = bench._RTTMeter()
+        with bench._rtt_instrumentation(meter):
+            x = jnp.arange(4.0)
+
+            def fetch():
+                np.asarray(x)
+
+            t = threading.Thread(target=fetch, name="ba-fetch-test")
+            t.start()
+            t.join()
+            np.asarray(x)  # main thread: critical path
+        assert meter.fetches == 2
+        assert meter.fetch_wall > 0.0
+        assert meter.fetch_wall_overlap > 0.0
