@@ -791,6 +791,20 @@ def main():
             jnp.asarray(1.0), iters=100)
         return jnp.sum(Z) * 1e-15
 
+    from rspl_slam_tpu.frontend.frontends import _downsample_mean
+
+    half = _downsample_mean(images[:1], 2)
+
+    def rcf_live(c):
+        e = rcf.edge_map(rcf_params, half + c * 1e-20)
+        return jnp.sum(e) * 1e-12
+
+    def hough_live(c):
+        segs, vmask, _ = lops.detect_line_segments(
+            half[0] * 255.0 + c * 1e-20, max_segments=LMAX,
+            min_length=10.0, max_edge_pixels=2048)
+        return (jnp.sum(segs) + jnp.sum(vmask)) * 1e-12
+
     def stage_dt(live_fn, iters=20):
         run = chain_live(live_fn, iters)
         float(run(jnp.zeros(())))
@@ -799,6 +813,8 @@ def main():
 
     dt_sp = stage_dt(sp_live)
     dt_sg = stage_dt(sg_live)
+    dt_rcf = stage_dt(rcf_live)
+    dt_hough = stage_dt(hough_live)
     # sinkhorn is ~0.1 ms/call: a 20-call chain disappears under RTT
     # jitter, so give it a long chain for a resolvable wall
     dt_sink = stage_dt(sink_live, iters=400)
@@ -817,6 +833,11 @@ def main():
         sink_scores)
     fl_ba = _graph_flops(jax.jit(
         lambda p: local_ba.optimize_local_map(Ki, p)), prob)
+    fl_rcf = _graph_flops(jax.jit(
+        lambda im: rcf.edge_map(rcf_params, im)), half)
+    fl_hough = _graph_flops(jax.jit(lambda im: lops.detect_line_segments(
+        im, max_segments=LMAX, min_length=10.0, max_edge_pixels=2048)),
+        half[0] * 255.0)
 
     def mfu(fl, dt):
         if fl is None or peak is None or dt <= 0:
@@ -832,6 +853,12 @@ def main():
         "superglue": {"gflops": fl_sg and round(fl_sg / 1e9, 2),
                       "ms": round(dt_sg * 1e3, 3),
                       "mfu_pct": mfu(fl_sg, dt_sg)},
+        "rcf": {"gflops": fl_rcf and round(fl_rcf / 1e9, 2),
+                "ms": round(dt_rcf * 1e3, 3),
+                "mfu_pct": mfu(fl_rcf, dt_rcf)},
+        "hough_lines": {"gflops": fl_hough and round(fl_hough / 1e9, 2),
+                        "ms": round(dt_hough * 1e3, 3),
+                        "mfu_pct": mfu(fl_hough, dt_hough)},
         "sinkhorn": {"gflops": fl_sink and round(fl_sink / 1e9, 2),
                      "ms": round(dt_sink * 1e3, 3),
                      "mfu_pct": mfu(fl_sink, dt_sink)},
@@ -848,6 +875,11 @@ def main():
             "superpoint": "conv stem at batch 1 on a 752x480 frame; "
                           "MXU utilization rises with stereo batching "
                           "(eager mode runs B=2)",
+            "rcf": "VGG16 side-output net at the x0.5 detection scale, "
+                   "batch 1: same batch-1 MXU regime as superpoint",
+            "hough_lines": "accumulator scatter + segment walk: gather/"
+                           "scatter and VPU compare ops, near-zero matmul "
+                           "flops by construction — HBM is the roofline",
         },
     }
 
